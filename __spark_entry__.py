@@ -3,8 +3,9 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine: ``dedupe_trees_spark`` (see SURVEY.md §2 / README.md).
 """
 
 from __future__ import annotations
@@ -15,24 +16,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full dedup semantics —
+    content hashing → candidate edges → connected components → resolver
+    window → canonical table with removals flagged."""
+    from dedupe_trees_spark.operators.components import assign_components
+    from dedupe_trees_spark.operators.exact import exact_edges, with_content_hash
+    from dedupe_trees_spark.operators.resolve import resolve
+    from dedupe_trees_spark.queries import documents_as_pages
+
+    pages = documents_as_pages(spark, "/root/testdata/sf0.001")
+    hashed = with_content_hash(pages, text_col="text")
+    edges = exact_edges(hashed, id_col="url")
+    comps = assign_components(pages.select("url"), edges, id_col="url")
+    resolved = resolve(
+        pages.join(comps, "url"),
+        ["source_order", "path_depth", "copy_pattern", "arbitrary"],
+    )
+    return resolved.select(
+        "component_id", "url", "lang", "source", "rank", "is_canonical"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from dedupe_trees_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI-SQL twin for each query (same column names)."""
+    from dedupe_trees_spark.queries import ORACLES
+
+    return dict(ORACLES)

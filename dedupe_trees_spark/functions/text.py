@@ -1,0 +1,89 @@
+"""Text primitives as Catalyst column expressions.
+
+Everything here stays JVM-side (whole-stage codegen); no Python executes
+per row. These are the shared building blocks for exact hashing
+(reference semantics: dedupe_trees FileEntry content digest — SURVEY.md
+§2.1 R2), MinHash shingling, SimHash token hashing, and the substring
+fingerprint stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Casefold + collapse runs of whitespace to single spaces + trim.
+
+    Applied once at ingest (pipeline S1). NOTE: the byte-identical-text
+    invariant (BASELINE.json input_hint) is checked on the *raw* ``text``
+    column; normalization feeds only the signature stages.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def content_hash(col: Column | str) -> Column:
+    """64-bit content hash (Spark-native xxhash64) — the exact-dup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c)
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """128-bit hex content fingerprint; oracle-comparable (DuckDB md5())."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep)
+
+
+def word_shingles(col: Column | str, k: int = 3, sep: str = " ") -> Column:
+    """All k-word shingles (stride 1) as array<string>, duplicates kept.
+
+    ``transform(sequence(...))`` keeps generation inside codegen. Documents
+    with fewer than k tokens yield a single shingle of all their tokens,
+    so short docs still participate in MinHash.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, sep)
+    n = F.size(toks)
+    start_idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        start_idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+
+
+def shingle_hashes(col: Column | str, k: int = 3) -> Column:
+    """Distinct xxhash64 of each k-word shingle → array<bigint>.
+
+    This is the set representation used for MinHash input AND for exact
+    Jaccard verification of candidate pairs (array_intersect on hashes).
+    Hashing shingle strings JVM-side means the pandas UDF that computes
+    MinHash signatures only ever sees int64 arrays — pure NumPy work.
+    """
+    sh = word_shingles(col, k=k)
+    return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+
+
+def char_ngrams(col: Column | str, k: int, stride: int = 1) -> Column:
+    """All k-char substrings at the given stride → array<string>.
+
+    stride=1 gives true substring semantics (every window); larger strides
+    are only used as one side of an asymmetric gram join. Empty for texts
+    shorter than k.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1, F.lit(stride)),
+            lambda i: F.substring(c, i, k),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

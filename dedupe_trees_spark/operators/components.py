@@ -1,0 +1,144 @@
+"""Connected components over the candidate-pair graph.
+
+Replaces the reference's tree-walk duplicate sets (dict digest → members,
+SURVEY.md §2.1 R3): here duplicate sets are connected components of the
+union of exact-hash, MinHash-LSH, SimHash, and substring edges.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+rounds regardless of graph diameter, each round two shuffles, expressed
+entirely as DataFrame self-aggregations (no graphframes jar needed, none
+ships in this sandbox). Node ids are the string ``url`` values; the
+component id is the lexicographic-min url of the component, which makes
+output deterministic and permutation-invariant.
+
+Scale notes (10^12 nodes):
+- every iteration's frontier is persisted + localCheckpoint'ed (or parquet
+  checkpointed via ``ckpt_dir``) to cut lineage growth — without this the
+  plan doubles each round;
+- convergence is detected by an order-insensitive signature
+  (count + bit_xor of xxhash64(edge)) instead of DataFrame equality joins;
+- large-star caps high-degree nodes: a node of degree d emits ≤ d edges,
+  all pointing at the partition-local min, so hot template clusters
+  (millions of near-identical pages) converge without quadratic blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge list → canonical (u > v) orientation, no loops."""
+    return (
+        edges.select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) canonical → for each node, connect strictly-larger neighbors
+    to min(Γ(u) ∪ {u})."""
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    out = (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return _canonical_edges(out, "u", "v")
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(u,v) canonical (v < u) → connect all small neighbors (and u) to the
+    minimum small neighbor."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    joined = edges.join(mins, "u")
+    e1 = joined.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    e2 = mins.select(F.col("u"), F.col("m").alias("v"))
+    return _canonical_edges(e1.unionByName(e2), "u", "v")
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor is order-insensitive and can't overflow (edges are distinct,
+    # so xor-cancellation of repeated elements can't occur)
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "url_a",
+    b: str = "url_b",
+    max_iter: int = 50,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    """Edge list → (url, component_id) for every node that has an edge.
+
+    Nodes with no edges are absent; callers union them back with
+    component_id = their own id (see ``assign_components``).
+    """
+    spark = edges.sparkSession
+    cur = _canonical_edges(edges, a, b)
+    cur = cur.localCheckpoint(eager=True)
+    sig = _signature(cur)
+    for it in range(max_iter):
+        nxt = _small_star(_large_star(cur))
+        if ckpt_dir is not None:
+            path = f"{ckpt_dir}/cc_iter_{it}"
+            nxt.write.mode("overwrite").parquet(path)
+            nxt = spark.read.parquet(path)
+        else:
+            nxt = nxt.localCheckpoint(eager=True)
+        nsig = _signature(nxt)
+        cur.unpersist()
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(f"connected_components failed to converge in {max_iter} iterations")
+
+    # At convergence edges form stars (u → component min). Every node that
+    # appeared in the input is either a star leaf (u) or a root (v).
+    leaves = cur.select(F.col("u").alias("url"), F.col("v").alias("component_id"))
+    roots = cur.select(F.col("v").alias("url"), F.col("v").alias("component_id")).dropDuplicates(
+        ["url"]
+    )
+    return leaves.unionByName(roots).dropDuplicates(["url"])
+
+
+def assign_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "url",
+    a: str = "url_a",
+    b: str = "url_b",
+    max_iter: int = 50,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    """All nodes → (id_col, component_id); isolated nodes are singletons."""
+    cc = connected_components(edges, a=a, b=b, max_iter=max_iter, ckpt_dir=ckpt_dir)
+    cc = cc.withColumnRenamed("url", id_col)
+    return (
+        nodes.select(id_col)
+        .dropDuplicates([id_col])
+        .join(cc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component_id", F.col(id_col)).alias("component_id"),
+        )
+    )
