@@ -1,0 +1,105 @@
+"""MinHash signatures as a vectorized Arrow/pandas UDF.
+
+Input is the JVM-computed distinct shingle-hash array
+(``functions.text.shingle_hashes`` — xxhash64 per k-word shingle), so
+the Python side only ever touches int64 arrays: pure NumPy, no per-row
+Python, no string hashing in Python (BASELINE.json input_hint forbids
+per-row Python UDFs).
+
+Hash family: multiply-shift universal hashing over uint64 —
+``h_i(x) = (a_i * x + b_i) mod 2^64 >> 33`` with odd seeded ``a_i``.
+Wrap-around multiplication is the modulus, so everything stays in
+native uint64 SIMD ops; the top 31 bits are the signature value (fits
+int32, keeping a 128-perm signature at 512 bytes/doc).
+
+Batch layout: each Arrow batch's ragged shingle arrays are flattened
+once; per-permutation mins come from ``np.minimum.reduceat`` over the
+flat array — O(num_perm × total_shingles) with no Python loop over
+docs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_EMPTY_SENTINEL = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng([seed, 1])
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * 2 + 1  # odd
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_batch(
+    arrays: pd.Series, a: np.ndarray, b: np.ndarray
+) -> pd.Series:
+    """One Arrow batch of shingle-hash arrays → signature arrays."""
+    lens = arrays.map(len).to_numpy(dtype=np.int64)
+    n = len(lens)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    total = int(lens.sum())
+    flat = np.empty(max(total, 1), dtype=np.uint64)
+    pos = 0
+    for arr in arrays:
+        m = len(arr)
+        if m:
+            flat[pos : pos + m] = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            pos += m
+    # docs with zero shingles get a sentinel element so reduceat segments
+    # are never empty (their signature is then a constant, harmless)
+    nonempty = lens > 0
+    if not nonempty.all():
+        seg_lens = np.where(nonempty, lens, 1)
+        flat2 = np.empty(int(seg_lens.sum()), dtype=np.uint64)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(seg_lens[:-1], out=offs[1:])
+        pos_in = 0
+        for i, arr in enumerate(arrays):
+            m = len(arr)
+            if m:
+                flat2[offs[i] : offs[i] + m] = flat[pos_in : pos_in + m]
+                pos_in += m
+            else:
+                flat2[offs[i]] = _EMPTY_SENTINEL
+        flat, offsets = flat2, offs
+    else:
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+
+    num_perm = len(a)
+    out = np.empty((n, num_perm), dtype=np.int32)
+    for i in range(num_perm):
+        v = (a[i] * flat + b[i]) >> np.uint64(33)
+        out[:, i] = np.minimum.reduceat(v, offsets).astype(np.int32)
+    return pd.Series(list(out))
+
+
+def minhash_udf(num_perm: int = 128, seed: int = 42):
+    """pandas_udf: array<bigint> shingle hashes → array<int> signature."""
+    a, b = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _minhash(arrays: pd.Series) -> pd.Series:
+        return minhash_batch(arrays, a, b)
+
+    return _minhash
+
+
+def band_hash_array(sig_col: Column | str, bands: int, rows: int) -> Column:
+    """Signature → array of ``bands`` 64-bit band hashes (JVM-side).
+
+    Band i hashes its row-slice of the signature together with i, so
+    equal values in different bands never collide into one bucket.
+    """
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.xxhash64(i, F.slice(sig, i * rows + 1, rows)),
+    )

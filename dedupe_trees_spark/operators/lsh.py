@@ -1,0 +1,170 @@
+"""MinHash-LSH candidate generation with explicit skew handling.
+
+Pipeline shape (SURVEY.md §2.2 "LSH candidate self-join"):
+
+    signatures ──explode──▶ bands(url, band_id, band_hash)
+    bands ──bucket-count──▶ cold buckets (≤ cap)   → all-pairs self-join
+                           hot buckets  (> cap)    → salted sub-buckets:
+                               all-pairs within a salt group
+                               + one verified edge per salt group to the
+                                 bucket representative (keeps the bucket
+                                 connected without m·(m−1)/2 expansion)
+    pairs ──dropDuplicates──▶ verify exact Jaccard on shingle-hash sets
+
+Why this scales: a band bucket with m members yields m(m−1)/2 pairs —
+one hot template cluster of 10^6 pages would otherwise emit 5·10^11
+pairs from a single bucket. Capping at ``cap`` and salting bounds the
+per-bucket pair count to ~m·cap/2 while connected components still sees
+the whole bucket as one component (salt groups are chained through the
+bucket rep). AQE's skew-join handles residual partition imbalance.
+
+Verification is exact (JVM-side ``array_intersect`` on the distinct
+shingle-hash sets), so candidate false positives never reach the
+cluster graph — LSH affects recall only, never precision. This is what
+makes the DuckDB brute-force-Jaccard oracle an exact twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_trees_spark.functions.minhash import band_hash_array, minhash_udf
+
+
+def add_signature(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    out: str = "minhash",
+    num_perm: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    return df.withColumn(out, minhash_udf(num_perm, seed)(F.col(shingle_col)))
+
+
+def explode_bands(
+    df: DataFrame,
+    sig_col: str = "minhash",
+    id_col: str = "url",
+    bands: int = 32,
+    rows: int = 4,
+) -> DataFrame:
+    """signatures → (url, band_id, band_hash), one row per band."""
+    return df.select(
+        id_col,
+        F.posexplode(band_hash_array(sig_col, bands, rows)).alias(
+            "band_id", "band_hash"
+        ),
+    )
+
+
+def candidate_pairs(
+    bands_df: DataFrame,
+    id_col: str = "url",
+    cap: int = 256,
+) -> DataFrame:
+    """Bucket-join candidates with hot-bucket salting; distinct (a,b) pairs.
+
+    Returns columns (url_a, url_b) with url_a < url_b. Pairs surviving
+    here are *candidates* — callers must verify before trusting them.
+    """
+    counts = bands_df.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    tagged = bands_df.join(counts, ["band_id", "band_hash"])
+
+    cold = tagged.filter(F.col("bucket_n") <= cap).select(
+        "band_id", "band_hash", id_col
+    )
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = a.join(
+        b,
+        (F.col(f"a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("url_a"), F.col(f"b.{id_col}").alias("url_b")
+    )
+
+    hot = tagged.filter(F.col("bucket_n") > cap)
+    # salt: split a bucket of m members into ceil(m/cap) groups of ≤~cap
+    hot = hot.withColumn(
+        "salt",
+        F.pmod(F.xxhash64(id_col), F.ceil(F.col("bucket_n") / cap).cast("long")),
+    )
+    h1, h2 = hot.alias("a"), hot.alias("b")
+    hot_pairs = h1.join(
+        h2,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("url_a"), F.col(f"b.{id_col}").alias("url_b")
+    )
+    # chain edges: salt-group rep ↔ bucket rep keeps the bucket connected
+    reps = hot.groupBy("band_id", "band_hash", "salt").agg(
+        F.min(id_col).alias("salt_rep")
+    )
+    bucket_rep = reps.groupBy("band_id", "band_hash").agg(
+        F.min("salt_rep").alias("bucket_rep")
+    )
+    chain = (
+        reps.join(bucket_rep, ["band_id", "band_hash"])
+        .filter(F.col("salt_rep") != F.col("bucket_rep"))
+        .select(
+            F.least("salt_rep", "bucket_rep").alias("url_a"),
+            F.greatest("salt_rep", "bucket_rep").alias("url_b"),
+        )
+    )
+
+    return (
+        cold_pairs.unionByName(hot_pairs)
+        .unionByName(chain)
+        .dropDuplicates(["url_a", "url_b"])
+    )
+
+
+def jaccard_expr(a, b):
+    """Exact Jaccard of two pre-distinct arrays, JVM-side."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    threshold: float,
+    id_col: str = "url",
+    shingle_col: str = "shingles",
+    kind: str = "minhash",
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs → (url_a, url_b,
+    kind, score) for pairs with J ≥ threshold."""
+    sets = signatures.select(
+        F.col(id_col).alias("_vid"), F.col(shingle_col).alias("_vset")
+    )
+    out = (
+        pairs.join(sets.withColumnRenamed("_vid", "url_a").withColumnRenamed("_vset", "_set_a"), "url_a")
+        .join(sets.withColumnRenamed("_vid", "url_b").withColumnRenamed("_vset", "_set_b"), "url_b")
+        .withColumn("score", jaccard_expr(F.col("_set_a"), F.col("_set_b")))
+        .filter(F.col("score") >= threshold)
+        .select("url_a", "url_b", F.lit(kind).alias("kind"), "score")
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "url",
+    shingle_col: str = "shingles",
+    sig_col: str = "minhash",
+    bands: int = 32,
+    rows: int = 4,
+    cap: int = 256,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """signatures (with shingle sets + minhash) → verified near-dup pairs."""
+    bands_df = explode_bands(signatures, sig_col=sig_col, id_col=id_col, bands=bands, rows=rows)
+    cands = candidate_pairs(bands_df, id_col=id_col, cap=cap)
+    return verify_pairs(cands, signatures, threshold, id_col=id_col, shingle_col=shingle_col)
