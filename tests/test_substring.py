@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from dedupe_trees_spark.datagen import GenConfig, generate_pages
+from dedupe_trees_spark.operators.substring import (
+    _winnow_batch,
+    substring_pairs_exact,
+    substring_pairs_winnow,
+)
+
+
+def _fixture(spark):
+    shared = "S" + "hared span content here! " * 12  # ~300 chars
+    rows = [
+        ("u1", "prefix one two three " * 5 + shared + " suffix alpha beta " * 5),
+        ("u2", "totally different intro text " * 6 + shared + " closing words " * 4),
+        ("u3", "no overlap with anything else at all " * 10),
+    ]
+    return spark.createDataFrame(rows, ["url", "text"])
+
+
+def test_substring_exact_finds_shared_span(spark):
+    pairs = {
+        (r["url_a"], r["url_b"])
+        for r in substring_pairs_exact(_fixture(spark), k=64).collect()
+    }
+    assert pairs == {("u1", "u2")}
+
+
+def test_substring_winnow_finds_shared_span(spark):
+    pairs = {
+        (r["url_a"], r["url_b"])
+        for r in substring_pairs_winnow(_fixture(spark), k=48, w=17).collect()
+    }
+    assert ("u1", "u2") in pairs
+    assert all({a, b} != {"u1", "u3"} and {a, b} != {"u2", "u3"} for a, b in pairs)
+
+
+def test_winnow_batch_guarantee_and_sampling():
+    rng = np.random.default_rng(5)
+    h = rng.integers(-(2**62), 2**62, size=500, dtype=np.int64)
+    out = _winnow_batch(pd.Series([h]), w=17)[0]
+    # samples ~2/(w+1) of grams, and every selected value is a window min
+    assert 10 < len(out) < 120
+    # short doc: single min
+    out2 = _winnow_batch(pd.Series([h[:5]]), w=17)[0]
+    assert list(out2) == [h[:5].min()]
+
+
+def test_winnow_subset_of_exact_on_synthetic(spark):
+    """Winnowed pairs ⊆ exact-gram pairs at the same effective length,
+    and winnowing catches every planted substr cluster pair."""
+    cfg = GenConfig(n_docs=800, seed=42)
+    pages = generate_pages(spark, cfg, partitions=8).select(
+        "url", "text", "truth_cluster", "truth_kind"
+    )
+    pages.cache()
+    k, w = 48, 17
+    exact = {
+        (r["url_a"], r["url_b"])
+        for r in substring_pairs_exact(pages, k=k).collect()
+    }
+    winnow = {
+        (r["url_a"], r["url_b"])
+        for r in substring_pairs_winnow(pages, k=k, w=w).collect()
+    }
+    assert winnow <= exact
+    # every substr cluster is fully detected (planted spans are ≥ 200 chars
+    # > k+w-1 = 64)
+    truth = pages.toPandas()
+    for root, grp in truth[truth.truth_kind == "substr"].groupby("truth_cluster"):
+        urls = sorted(grp["url"])
+        if len(urls) < 2:
+            continue
+        root_url = grp.loc[grp.text.str.len().idxmax(), "url"]
+        for u in urls:
+            if u == root_url:
+                continue
+            pair = (min(u, root_url), max(u, root_url))
+            assert pair in winnow, f"missed substr pair {pair} in cluster {root}"
+    pages.unpersist()
