@@ -1,0 +1,66 @@
+"""Pipeline configuration (the engine's "CLI parse" — reference R14).
+
+One frozen dataclass carries every knob; ``from_args`` maps the
+spark-submit argv surface onto it.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field, fields
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    input_path: str
+    ckpt_dir: str
+    # signature config (must match the oracle's when measuring recall)
+    shingle_k: int = 3
+    num_perm: int = 128
+    bands: int = 32
+    rows_per_band: int = 4
+    minhash_seed: int = 42
+    jaccard_threshold: float = 0.8
+    # candidate stages on/off
+    enable_minhash: bool = True
+    enable_simhash: bool = True
+    enable_substring: bool = True
+    simhash_max_hamming: int = 3
+    substring_k: int = 48
+    substring_w: int = 17
+    # skew handling
+    bucket_cap: int = 256
+    # resolution (reference resolver chain, R4–R8 analogues)
+    resolvers: tuple = ("source_order", "path_depth", "copy_pattern", "mod_date", "arbitrary")
+    # execution
+    resume: bool = True
+    keep_html: bool = False   # drop the binary column after ingest (column pruning)
+
+
+def from_args(argv: list[str] | None = None) -> PipelineConfig:
+    p = argparse.ArgumentParser(prog="run_dedupe")
+    p.add_argument("--input", required=True, dest="input_path")
+    p.add_argument("--ckpt", required=True, dest="ckpt_dir")
+    p.add_argument("--shingle-k", type=int, default=3)
+    p.add_argument("--num-perm", type=int, default=128)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--rows-per-band", type=int, default=4)
+    p.add_argument("--threshold", type=float, default=0.8, dest="jaccard_threshold")
+    p.add_argument("--no-minhash", action="store_false", dest="enable_minhash")
+    p.add_argument("--no-simhash", action="store_false", dest="enable_simhash")
+    p.add_argument("--no-substring", action="store_false", dest="enable_substring")
+    p.add_argument("--bucket-cap", type=int, default=256)
+    p.add_argument(
+        "--resolve",
+        default="source_order,path_depth,copy_pattern,mod_date,arbitrary",
+        help="comma-separated resolver chain, applied in order",
+    )
+    p.add_argument("--no-resume", action="store_false", dest="resume")
+    ns = p.parse_args(argv)
+    kwargs = {
+        f.name: getattr(ns, f.name)
+        for f in fields(PipelineConfig)
+        if hasattr(ns, f.name)
+    }
+    kwargs["resolvers"] = tuple(x.strip() for x in ns.resolve.split(",") if x.strip())
+    return PipelineConfig(**kwargs)

@@ -1,0 +1,204 @@
+"""The end-to-end dedup pipeline (SURVEY.md §3.2 lifecycle):
+
+    S1 signatures:  pages → (url, meta, content_hash, shingles, minhash,
+                             simhash, substr_fp)          [checkpoint]
+    S2 bands:       signatures → (url, band_id, band_hash) [checkpoint]
+    S3 pairs:       exact ∪ minhash ∪ simhash ∪ substr edges, verified
+                                                           [checkpoint]
+    S4 components:  connected components over pairs        [checkpoint]
+    S5 canonical:   resolver window → canonical + removals [checkpoint]
+
+Every stage reads its dependencies from the previous stage's parquet
+checkpoint, never from an in-memory plan — that is what makes resume
+(``_SUCCESS``-gated) trivially correct, bounds Catalyst lineage, and
+gives each stage an independent shuffle budget. The html binary column
+is dropped at S1 so every later scan benefits from column pruning.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dedupe_trees_spark.config import PipelineConfig
+from dedupe_trees_spark.functions.minhash import minhash_udf
+from dedupe_trees_spark.functions.simhash import simhash_udf
+from dedupe_trees_spark.functions.text import content_hash, normalize_text, shingle_hashes
+from dedupe_trees_spark.io import read_pages, read_stage, stage_done, write_stage
+from dedupe_trees_spark.operators import resolve as R
+from dedupe_trees_spark.operators.components import assign_components
+from dedupe_trees_spark.operators.exact import exact_edges
+from dedupe_trees_spark.operators.lsh import explode_bands, verify_pairs, candidate_pairs
+from dedupe_trees_spark.operators.simhash_join import simhash_pairs
+from dedupe_trees_spark.operators.substring import gram_hashes, winnow_udf
+from dedupe_trees_spark.plans.lineage import record_stage
+
+STAGES = ["signatures", "bands", "pairs", "components", "canonical"]
+
+
+class DedupePipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+        self.spark = spark
+        self.cfg = cfg
+
+    # ---------------------------------------------------------------- stages
+
+    def _build_signatures(self) -> DataFrame:
+        cfg = self.cfg
+        pages = read_pages(self.spark, cfg.input_path)
+        cols = ["url", "warc_ts", "text", "lang", "source", "source_order"]
+        have = set(pages.columns)
+        sel = [c for c in cols if c in have]
+        df = pages.select(*sel)
+        if "source_order" not in have and "source" in have:
+            df = df.withColumn(
+                "source_order",
+                F.regexp_extract("source", r"(\d+)$", 1).cast("int"),
+            )
+        df = df.withColumn("norm", normalize_text("text")).drop("text")
+        df = (
+            df.withColumn("content_hash", content_hash("norm"))
+            .withColumn("n_chars", F.length("norm"))
+            .withColumn("shingles", shingle_hashes("norm", k=cfg.shingle_k))
+        )
+        if cfg.enable_minhash:
+            df = df.withColumn(
+                "minhash", minhash_udf(cfg.num_perm, cfg.minhash_seed)(F.col("shingles"))
+            )
+        if cfg.enable_simhash:
+            df = df.withColumn("simhash", simhash_udf(F.col("shingles")))
+        if cfg.enable_substring:
+            df = df.withColumn(
+                "substr_fp",
+                winnow_udf(cfg.substring_w)(gram_hashes(F.col("norm"), cfg.substring_k)),
+            )
+        return df.drop("norm")
+
+    def _build_bands(self) -> DataFrame:
+        cfg = self.cfg
+        sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
+        return explode_bands(
+            sigs, sig_col="minhash", id_col="url", bands=cfg.bands, rows=cfg.rows_per_band
+        )
+
+    def _build_pairs(self) -> DataFrame:
+        cfg = self.cfg
+        sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
+        edge_frames = [exact_edges(sigs, id_col="url", hash_col="content_hash")]
+        if cfg.enable_minhash:
+            bands = read_stage(self.spark, cfg.ckpt_dir, "bands")
+            cands = candidate_pairs(bands, id_col="url", cap=cfg.bucket_cap)
+            edge_frames.append(
+                verify_pairs(
+                    cands, sigs, cfg.jaccard_threshold, id_col="url",
+                    shingle_col="shingles", kind="minhash",
+                )
+            )
+        if cfg.enable_simhash:
+            sh = simhash_pairs(
+                sigs.select("url", "simhash"),
+                id_col="url",
+                max_hamming=cfg.simhash_max_hamming,
+                cap=cfg.bucket_cap,
+            )
+            edge_frames.append(
+                verify_pairs(
+                    sh.select("url_a", "url_b"), sigs, cfg.jaccard_threshold,
+                    id_col="url", shingle_col="shingles", kind="simhash",
+                )
+            )
+        if cfg.enable_substring:
+            from dedupe_trees_spark.operators.substring import _pairs_from_gram_sets
+
+            sub = _pairs_from_gram_sets(
+                sigs.select("url", "substr_fp"), F.col("substr_fp"), "url", cfg.bucket_cap
+            ).select(
+                "url_a", "url_b", F.lit("substr").alias("kind"), F.lit(1.0).alias("score")
+            )
+            edge_frames.append(sub)
+        pairs = edge_frames[0]
+        for e in edge_frames[1:]:
+            pairs = pairs.unionByName(e)
+        # one row per undirected pair; keep the strongest-evidence kind
+        return (
+            pairs.withColumn(
+                "_pri",
+                F.when(F.col("kind") == "exact", 0)
+                .when(F.col("kind") == "minhash", 1)
+                .when(F.col("kind") == "simhash", 2)
+                .otherwise(3),
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("url_a", "url_b").orderBy("_pri")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_pri", "_rn")
+        )
+
+    def _build_components(self) -> DataFrame:
+        cfg = self.cfg
+        sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
+        pairs = read_stage(self.spark, cfg.ckpt_dir, "pairs")
+        return assign_components(
+            sigs.select("url"), pairs, id_col="url",
+            ckpt_dir=f"{cfg.ckpt_dir}/_cc_work",
+        )
+
+    def _build_canonical(self) -> DataFrame:
+        cfg = self.cfg
+        sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
+        comps = read_stage(self.spark, cfg.ckpt_dir, "components")
+        meta_cols = [c for c in ["url", "warc_ts", "lang", "source", "source_order", "n_chars"] if c in sigs.columns]
+        resolved = R.resolve(
+            sigs.select(*meta_cols).join(comps, "url"),
+            list(cfg.resolvers),
+        )
+        return resolved.select(
+            "component_id", "url", *[c for c in meta_cols if c != "url"],
+            "rank", "is_canonical",
+        )
+
+    # ------------------------------------------------------------------- run
+
+    def run(self) -> dict:
+        """Execute all stages, skipping checkpointed ones when resuming.
+
+        Returns the per-stage metrics dicts (empty for skipped stages).
+        """
+        builders = {
+            "signatures": self._build_signatures,
+            "bands": self._build_bands,
+            "pairs": self._build_pairs,
+            "components": self._build_components,
+            "canonical": self._build_canonical,
+        }
+        enabled = [s for s in STAGES if s != "bands" or self.cfg.enable_minhash]
+        report = {}
+        for stage in enabled:
+            if self.cfg.resume and stage_done(self.cfg.ckpt_dir, stage):
+                report[stage] = {"stage": stage, "skipped": True}
+                continue
+            t0 = time.time()
+            df = builders[stage]()
+            write_stage(df, self.cfg.ckpt_dir, stage)
+            wall_ms = (time.time() - t0) * 1000
+            report[stage] = record_stage(self.spark, self.cfg.ckpt_dir, stage, wall_ms)
+        return report
+
+    # ------------------------------------------------------------- accessors
+
+    def canonical(self) -> DataFrame:
+        return read_stage(self.spark, self.cfg.ckpt_dir, "canonical")
+
+    def removals(self) -> DataFrame:
+        return self.canonical().filter(~F.col("is_canonical"))
+
+    def deduped_pages(self) -> DataFrame:
+        """Delete-sink analogue (R11): input pages minus removals."""
+        pages = read_pages(self.spark, self.cfg.input_path)
+        return R.apply_delete_sink(pages, self.removals())

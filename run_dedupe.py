@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint (BASELINE.json north_star):
+
+    spark-submit --py-files dedupe_trees_spark.zip run_dedupe.py \
+        --input /data/pages_parquet --ckpt /ckpt/run1 \
+        --resolve source_order,path_depth,copy_pattern,mod_date,arbitrary
+
+Also runnable as plain ``python run_dedupe.py`` locally (builds its own
+local[N] session). Resumes from the newest complete stage checkpoint
+unless --no-resume. Add --gen-docs N to deterministically synthesize
+the input first (no external data).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # --gen-docs / --master / --seed are entrypoint-level, not pipeline config
+    def pop_opt(name, default=None):
+        if name in argv:
+            i = argv.index(name)
+            val = argv[i + 1]
+            del argv[i : i + 2]
+            return val
+        return default
+
+    gen_docs = pop_opt("--gen-docs")
+    master = pop_opt("--master")
+    seed = int(pop_opt("--seed", "42"))
+
+    from dedupe_trees_spark.config import from_args
+    from dedupe_trees_spark.session import get_spark
+
+    cfg = from_args(argv)
+    spark = get_spark("run_dedupe", master=master)
+
+    if gen_docs:
+        from dedupe_trees_spark.datagen import GenConfig, generate_pages
+
+        gcfg = GenConfig(n_docs=int(gen_docs), seed=seed)
+        generate_pages(spark, gcfg).write.mode("overwrite").parquet(cfg.input_path)
+
+    from dedupe_trees_spark.plans.pipeline import DedupePipeline
+
+    t0 = time.time()
+    pipe = DedupePipeline(spark, cfg)
+    report = pipe.run()
+    wall = time.time() - t0
+
+    canon = pipe.canonical()
+    n_total = canon.count()
+    n_kept = canon.filter("is_canonical").count()
+    summary = {
+        "wall_sec": round(wall, 2),
+        "docs": n_total,
+        "kept": n_kept,
+        "removed": n_total - n_kept,
+        "docs_per_sec": round(n_total / wall, 1) if wall > 0 else None,
+        "stages": {
+            k: ({"skipped": True} if v.get("skipped") else {
+                "wall_ms": round(v["wall_ms"], 1),
+                "rows_out": v["rows_out"],
+                "n_files": v["n_files"],
+            })
+            for k, v in report.items()
+        },
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
