@@ -16,25 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: full dedup semantics —
-    content hashing → candidate edges → connected components → resolver
-    window → canonical table with removals flagged."""
-    from dedupe_trees_spark.operators.components import assign_components
-    from dedupe_trees_spark.operators.exact import exact_edges, with_content_hash
-    from dedupe_trees_spark.operators.resolve import resolve
-    from dedupe_trees_spark.queries import documents_as_pages
+    """Flagship query on /root/testdata/sf0.001: the full dedup semantics —
+    exact xxhash64 edges ∪ MinHash-LSH verified near-dup edges →
+    connected components → resolver window → canonical/removals."""
+    from dedupe_trees_spark.queries import q_dedup_canonical_full
 
-    pages = documents_as_pages(spark, "/root/testdata/sf0.001")
-    hashed = with_content_hash(pages, text_col="text")
-    edges = exact_edges(hashed, id_col="url")
-    comps = assign_components(pages.select("url"), edges, id_col="url")
-    resolved = resolve(
-        pages.join(comps, "url"),
-        ["source_order", "path_depth", "copy_pattern", "arbitrary"],
-    )
-    return resolved.select(
-        "component_id", "url", "lang", "source", "rank", "is_canonical"
-    )
+    return q_dedup_canonical_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

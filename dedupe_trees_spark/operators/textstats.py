@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side column expressions (codegen, no UDFs): language-ID by
+stopword-marker counting, quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + word-regex), and content
+fingerprinting. Each has an exact ANSI-SQL twin in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# high-frequency marker words per language (space-padded occurrence count)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "fr": ["le", "la", "les", "et"],
+    "es": ["el", "los", "que", "y"],
+    "de": ["der", "die", "und", "das"],
+    "zh": ["de", "shi", "le", "zai"],
+}
+
+
+def occurrence_count(col: Column | str, needle: str) -> Column:
+    """Non-overlapping occurrences of ``needle`` in a string (JVM-side).
+
+    (len(s) − len(replace(s, needle, ''))) / len(needle) — the same
+    arithmetic runs in DuckDB, so results are oracle-exact.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def marker_score(col: Column | str, lang: str) -> Column:
+    """Count of language marker words (as whole tokens) in the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    score = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        score = score + occurrence_count(padded, f" {w} ")
+    return score
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker scores, 'und' if all zero.
+
+    Ties break by language code order (deterministic, oracle-matched).
+    """
+    scores = {lang: marker_score(col, lang) for lang in sorted(LANG_MARKERS)}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # later wins only on strict >
+        s = scores[lang]
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best
+
+
+def token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(c, " "))
+
+
+def word_token_count(col: Column | str) -> Column:
+    """BPE-ish tokenization proxy: count of word/number/punct chunks."""
+    c = F.col(col) if isinstance(col, str) else col
+    # split on word boundaries: count alnum runs + non-space non-alnum chars
+    alnum_runs = F.size(F.filter(F.split(c, r"[^0-9A-Za-z]+"), lambda s: s != ""))
+    punct = F.length(F.regexp_replace(c, r"[0-9A-Za-z\s]", ""))
+    return (alnum_runs + punct).cast("int")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: lengths, ratios, stopword share."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(c, r"[0-9A-Za-z\s]", ""))
+    stop = marker_score(c, "en")
+    return df.withColumns(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "avg_token_len": (n_chars - (n_tokens - 1)) / n_tokens,
+            "digit_ratio": digits / F.greatest(n_chars, F.lit(1)),
+            "punct_ratio": punct / F.greatest(n_chars, F.lit(1)),
+            "stopword_ratio": stop / F.greatest(n_tokens, F.lit(1)),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0..1 quality score (heuristic, deterministic)."""
+    feats = quality_features(df, text_col)
+    len_ok = F.when(
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    digit_ok = F.lit(1.0) - F.least(F.col("digit_ratio") * 4, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0))
+    return feats.withColumn(
+        "quality", (len_ok + digit_ok + punct_ok) / F.lit(3.0)
+    )
+
+
+def rolling_fingerprint(col: Column | str, window: int = 16) -> Column:
+    """Document fingerprint: xxhash64 over the document's char-window
+    hash minima (a winnowing-style content signature, JVM-side)."""
+    from dedupe_trees_spark.functions.text import char_ngrams
+
+    grams = char_ngrams(col, k=window, stride=window // 2)
+    return F.xxhash64(F.array_min(F.transform(grams, lambda g: F.xxhash64(g))))

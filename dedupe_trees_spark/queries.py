@@ -300,3 +300,459 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_sources": SQL_TOP_SOURCES,
 }
+
+
+# ---------------------------------------------------------------------------
+# M3/M4 — near-dup detection, substring dedup, full dedup flagship
+
+# Shared CTE: distinct 3-word shingles per document + set sizes + pairwise
+# intersection counts — the relational brute-force exact-Jaccard oracle.
+_JACCARD_SQL_CTES = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+  grams AS (
+    SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+    FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i FROM toks)
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jpairs AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8
+  )
+"""
+
+
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    from dedupe_trees_spark.functions.text import shingle_hashes
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", shingle_hashes("text", k=k).alias("shingles")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (J ≥ 0.8), relational plan:
+    shared-shingle inverted index → intersection counts → Jaccard."""
+    sets = _doc_shingle_sets(spark, sf_dir)
+    exploded = sets.select("doc_id", F.explode("shingles").alias("g"))
+    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_JACCARD_SQL_CTES}
+SELECT doc_a, doc_b, jaccard FROM jpairs
+"""
+
+
+def q_minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH→verified near-dup pairs. The oracle is the exact
+    brute-force Jaccard SQL — a match PROVES 100% LSH recall on this
+    dataset at the configured signature config (128 perms, 32×4 bands;
+    precision is exact by construction since candidates are verified)."""
+    from dedupe_trees_spark.operators.lsh import add_signature, minhash_lsh_pairs
+
+    sets = _doc_shingle_sets(spark, sf_dir)
+    sigs = add_signature(sets, num_perm=128, seed=42)
+    pairs = minhash_lsh_pairs(
+        sigs, id_col="doc_id", bands=32, rows=4, cap=256, threshold=0.8
+    )
+    return pairs.select(
+        F.col("url_a").alias("doc_a"),
+        F.col("url_b").alias("doc_b"),
+        F.col("score").alias("jaccard"),
+    )
+
+
+SQL_MINHASH_LSH_DUP_PAIRS = SQL_NGRAM_JACCARD_PAIRS
+
+
+def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs sharing an exact 64-char substring (stride-1 grams on both
+    sides — true substring semantics, fully relational)."""
+    from dedupe_trees_spark.operators.substring import substring_pairs_exact
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = substring_pairs_exact(d, id_col="doc_id", k=64, cap=4096)
+    return pairs.select(F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b"))
+
+
+SQL_SUBSTRING_DUP_PAIRS = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(text, i, 64) AS g
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 63)) AS i
+        FROM documents WHERE length(text) >= 64)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 candidate pairs, Jaccard-verified at 0.8.
+    (No SQL twin — simhash is not SQL-expressible; driver records a
+    rows-only check. Correctness is covered by pytest unit/recall tests.)
+    """
+    from dedupe_trees_spark.operators.lsh import verify_pairs
+    from dedupe_trees_spark.operators.simhash_join import add_simhash, simhash_pairs
+
+    sets = _doc_shingle_sets(spark, sf_dir)
+    sims = add_simhash(sets)
+    cands = simhash_pairs(sims, id_col="doc_id", max_hamming=3, cap=256)
+    verified = verify_pairs(
+        cands.select(F.col("url_a"), F.col("url_b")),
+        sets.withColumnRenamed("doc_id", "url"),
+        threshold=0.8,
+        kind="simhash",
+    )
+    return verified.select(
+        F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b"),
+        F.col("score").alias("jaccard"),
+    )
+
+
+def q_dedup_canonical_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full near-dup clustering + resolver-chain resolution.
+
+    exact-hash edges ∪ LSH-verified Jaccard-0.8 edges → connected
+    components → window resolution (source_order, arbitrary). Oracle:
+    recursive-CTE transitive closure over the brute-force Jaccard graph
+    with the same window — an end-to-end SQL twin of the whole engine.
+    Component ids are not exposed (engine uses min-url labels, oracle
+    min-doc_id); per-doc cluster_size + is_canonical are label-free.
+    """
+    from dedupe_trees_spark.operators.components import assign_components
+    from dedupe_trees_spark.operators.exact import exact_edges
+    from dedupe_trees_spark.operators.lsh import add_signature, minhash_lsh_pairs
+    from dedupe_trees_spark.operators.resolve import resolve
+
+    from dedupe_trees_spark.functions.text import shingle_hashes
+
+    pages = documents_as_pages(spark, sf_dir)
+    sets = pages.select(
+        "url", "doc_id", "source_order",
+        F.xxhash64("text").alias("content_hash"),
+        shingle_hashes("text", k=3).alias("shingles"),
+    )
+    exact = exact_edges(sets, id_col="url", hash_col="content_hash")
+    sigs = add_signature(sets, num_perm=128, seed=42)
+    near = minhash_lsh_pairs(sigs, id_col="url", bands=32, rows=4, cap=256, threshold=0.8)
+    edges = exact.select("url_a", "url_b").unionByName(near.select("url_a", "url_b"))
+    comps = assign_components(sets.select("url"), edges, id_col="url")
+    resolved = resolve(
+        sets.select("url", "doc_id", "source_order").join(comps, "url"),
+        ["source_order", "arbitrary"],
+    )
+    w = Window.partitionBy("component_id")
+    return resolved.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.col("is_canonical"),
+    )
+
+
+SQL_DEDUP_CANONICAL_FULL = f"""
+WITH RECURSIVE {_JACCARD_SQL_CTES},
+pages AS ({_PAGES_SQL}),
+exact_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+),
+alledges AS (
+  SELECT doc_a, doc_b FROM jpairs
+  UNION SELECT doc_a, doc_b FROM exact_pairs
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM alledges
+  UNION SELECT doc_b, doc_a FROM alledges
+),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS root FROM reach GROUP BY u),
+labeled AS (
+  SELECT p.doc_id, p.url, p.source_order, c.root
+  FROM pages p JOIN comp c ON p.doc_id = c.doc_id
+)
+SELECT doc_id,
+       count(*) OVER (PARTITION BY root) AS cluster_size,
+       (row_number() OVER (PARTITION BY root ORDER BY source_order ASC, url ASC) = 1)
+         AS is_canonical
+FROM labeled
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline operators: text analysis, similarity search, multimodal,
+# sessionization
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish word/punct chunks."""
+    from dedupe_trees_spark.operators.textstats import token_count, word_token_count
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        word_token_count("text").alias("word_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '[^0-9A-Za-z]+'), x -> x != ''))
+            + length(regexp_replace(text, '[0-9A-Za-z\\s]', '', 'g')) AS INT) AS word_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/digit/punct/stopword features + composite."""
+    from dedupe_trees_spark.operators.textstats import quality_score
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_score(d)
+    return out.select(
+        "doc_id", "n_chars", "n_tokens",
+        F.round("digit_ratio", 8).alias("digit_ratio"),
+        F.round("punct_ratio", 8).alias("punct_ratio"),
+        F.round("stopword_ratio", 8).alias("stopword_ratio"),
+        F.round("quality", 8).alias("quality"),
+    )
+
+
+SQL_QUALITY_SCORES = """
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         length(regexp_replace(text, '[0-9A-Za-z\\s]', '', 'g')) AS punct,
+         CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS INT)
+       + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5 AS INT)
+       + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4 AS INT)
+       + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' is ', ''))) / 4 AS INT) AS stop
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CAST(digits AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+         CAST(punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+         CAST(stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+         (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+          + (1.0 - least(CAST(digits AS DOUBLE) / greatest(n_chars, 1) * 4, 1.0))
+          + (1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars, 1) * 4, 1.0))) / 3.0 AS quality
+  FROM feats
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(digit_ratio, 8) AS digit_ratio,
+       round(punct_ratio, 8) AS punct_ratio,
+       round(stopword_ratio, 8) AS stopword_ratio,
+       round(quality, 8) AS quality
+FROM scored
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker argmax) vs labeled lang."""
+    from dedupe_trees_spark.operators.textstats import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
+
+
+def _sql_marker(lang_words: list[str]) -> str:
+    parts = [
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS INT)"
+        for w in lang_words
+    ]
+    return " + ".join(parts)
+
+
+SQL_LANG_ID = f"""
+WITH padded AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+scores AS (
+  SELECT doc_id, lang,
+         {_sql_marker(['der', 'die', 'und', 'das'])} AS s_de,
+         {_sql_marker(['the', 'and', 'of', 'is'])} AS s_en,
+         {_sql_marker(['el', 'los', 'que', 'y'])} AS s_es,
+         {_sql_marker(['le', 'la', 'les', 'et'])} AS s_fr,
+         {_sql_marker(['de', 'shi', 'le', 'zai'])} AS s_zh
+  FROM padded
+)
+SELECT doc_id, lang,
+       CASE
+         WHEN s_zh > greatest(s_de, s_en, s_es, s_fr, 0) THEN 'zh'
+         WHEN s_fr > greatest(s_de, s_en, s_es, 0) THEN 'fr'
+         WHEN s_es > greatest(s_de, s_en, 0) THEN 'es'
+         WHEN s_en > greatest(s_de, 0) THEN 'en'
+         WHEN s_de > 0 THEN 'de'
+         ELSE 'und'
+       END AS pred_lang
+FROM scores
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 8."""
+    from dedupe_trees_spark.operators.similarity import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 8)
+    out = brute_force_topk(e, q, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CASE WHEN list_sum(list_transform(q.qemb, x -> x * x)) > 0
+               AND list_sum(list_transform(e.emb, x -> x * x)) > 0
+              THEN list_dot_product(q.qemb, e.emb)
+                   / (sqrt(list_sum(list_transform(q.qemb, x -> x * x)))
+                      * sqrt(list_sum(list_transform(e.emb, x -> x * x))))
+              ELSE 0.0 END AS cos_raw
+  FROM q, e WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos_raw, 6) AS cos_sim, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed table aggregation: per-label counts + id range."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+    )
+
+
+SQL_EMBEDDING_LABEL_STATS = """
+SELECT label, count(*) AS n, min(vec_id) AS min_id, max(vec_id) AS max_id
+FROM embeddings GROUP BY label
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap>30min cumsum (window-op coverage)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize an html binary, decode metadata
+    through the mapInPandas media stage (decode itself is a deterministic
+    stub; schema/batching is the real pattern)."""
+    from dedupe_trees_spark.operators.multimodal import extract_media_meta
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "utf-8",
+        ).alias("payload"),
+    )
+    meta = extract_media_meta(d, binary_col="payload")
+    return meta.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "byte_len",
+        F.col("media_type"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, octet_length(encode(text)) + 26 AS byte_len, 'binary' AS media_type
+FROM documents
+"""
+
+
+QUERIES.update(
+    {
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_dup_pairs": q_minhash_lsh_dup_pairs,
+        "substring_dup_pairs": q_substring_dup_pairs,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "dedup_canonical_full": q_dedup_canonical_full,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "cosine_topk": q_cosine_topk,
+        "embedding_label_stats": q_embedding_label_stats,
+        "sessionize_events": q_sessionize_events,
+        "multimodal_meta": q_multimodal_meta,
+    }
+)
+
+ORACLES.update(
+    {
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "minhash_lsh_dup_pairs": SQL_MINHASH_LSH_DUP_PAIRS,
+        "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
+        # simhash_dup_pairs: deliberately no oracle (rows-only check)
+        "dedup_canonical_full": SQL_DEDUP_CANONICAL_FULL,
+        "token_stats": SQL_TOKEN_STATS,
+        "quality_scores": SQL_QUALITY_SCORES,
+        "lang_id": SQL_LANG_ID,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
+        "sessionize_events": SQL_SESSIONIZE_EVENTS,
+        "multimodal_meta": SQL_MULTIMODAL_META,
+    }
+)
