@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): prints ONE JSON line
+{"metric", "value", "unit", "queries", "sf", ...}.
+
+Headline = the full dedup pipeline (signatures → bands → pairs →
+components → canonical) on a deterministic synthetic pages table scaled
+to the sf dir, cold checkpoints, plus the heavyweight contract queries
+on the driver tables. docs/sec for the pipeline is included so scaling
+runs (local[8] vs local[32], see BENCH/BASELINE.md) can compute
+efficiency.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default all), BENCH_DOCS (override synthetic doc count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DOCS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
+    n_docs = int(os.environ.get("BENCH_DOCS", SF_DOCS.get(sf_name, 100_000)))
+
+    from dedupe_trees_spark.config import PipelineConfig
+    from dedupe_trees_spark.datagen import GenConfig, generate_pages
+    from dedupe_trees_spark.plans.pipeline import DedupePipeline
+    from dedupe_trees_spark.session import get_spark
+    import dedupe_trees_spark.queries as Q
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    # ---- synthetic pages input (written once per size, reused) ----------
+    pages_path = f"/tmp/spark_graft_bench/pages_{n_docs}"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        gcfg = GenConfig(n_docs=n_docs, seed=42)
+        generate_pages(spark, gcfg).write.mode("overwrite").parquet(pages_path)
+
+    # ---- headline: full pipeline, cold checkpoints ----------------------
+    ckpt = f"/tmp/spark_graft_bench/ckpt_{n_docs}_{int(time.time()*1000)}"
+    cfg = PipelineConfig(input_path=pages_path, ckpt_dir=ckpt, bucket_cap=256)
+    t0 = time.time()
+    DedupePipeline(spark, cfg).run()
+    pipeline_sec = time.time() - t0
+    timings["dedup_pipeline"] = round(pipeline_sec, 3)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # ---- contract queries on the driver tables --------------------------
+    bench_queries = [
+        "dedup_canonical_full",
+        "minhash_lsh_dup_pairs",
+        "substring_dup_pairs",
+        "simhash_dup_pairs",
+        "ngram_jaccard_pairs",
+        "pricing_summary",
+        "sessionize_events",
+        "cosine_topk",
+        "quality_scores",
+        "lang_id",
+    ]
+    qs = Q.QUERIES
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # materialize the whole plan
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "dedup_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline_docs": n_docs,
+        "pipeline_docs_per_sec": round(n_docs / pipeline_sec, 1),
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

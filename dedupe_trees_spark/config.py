@@ -26,8 +26,10 @@ class PipelineConfig:
     enable_simhash: bool = True
     enable_substring: bool = True
     simhash_max_hamming: int = 3
+    # winnowing guarantee = detect shared runs ≥ k+w−1 = 96 chars; fewer
+    # fingerprints (~2/(w+1) of grams) is the main pairs-stage cost lever
     substring_k: int = 48
-    substring_w: int = 17
+    substring_w: int = 49
     # skew handling
     bucket_cap: int = 256
     # resolution (reference resolver chain, R4–R8 analogues)

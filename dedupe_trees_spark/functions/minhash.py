@@ -103,3 +103,69 @@ def band_hash_array(sig_col: Column | str, bands: int, rows: int) -> Column:
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda i: F.xxhash64(i, F.slice(sig, i * rows + 1, rows)),
     )
+
+
+# ---------------------------------------------------------------------------
+# combined signature UDF (the pipeline hot path)
+
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def gram_mix(th: np.ndarray, k: int) -> np.ndarray:
+    """k-gram shingle hashes from a token-hash array (uint64, wrap-mod).
+
+    Polynomial mix of k consecutive token hashes — one vectorized pass.
+    Docs shorter than k yield a single gram over what's there.
+    """
+    th = np.asarray(th, dtype=np.int64).view(np.uint64)
+    n = len(th)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    m = max(n - k + 1, 1)
+    g = th[:m].copy()
+    for j in range(1, k):
+        upper = min(m + j, n)
+        seg = th[j:upper]
+        g[: len(seg)] = g[: len(seg)] * _MIX1 ^ (seg + _MIX2)
+    return g
+
+
+def signature_struct_udf(
+    shingle_k: int = 3,
+    num_perm: int = 128,
+    seed: int = 42,
+    with_simhash: bool = True,
+):
+    """token-hash array → struct(shingles, minhash, simhash).
+
+    One Python round trip computes everything derived from shingles:
+    - shingles: distinct k-gram mixed hashes (verification sets)
+    - minhash:  num_perm multiply-shift minima
+    - simhash:  64-bit bit-vote fingerprint
+    """
+    from dedupe_trees_spark.functions.simhash import simhash_batch
+
+    a, b = _perm_params(num_perm, seed)
+    fields = [
+        T.StructField("shingles", T.ArrayType(T.LongType())),
+        T.StructField("minhash", T.ArrayType(T.IntegerType())),
+        T.StructField("simhash", T.LongType()),
+    ]
+
+    @F.pandas_udf(T.StructType(fields))
+    def _sig(th_arrays: pd.Series) -> pd.DataFrame:
+        grams = pd.Series(
+            [
+                np.unique(gram_mix(arr, shingle_k)).view(np.int64)
+                for arr in th_arrays
+            ]
+        )
+        mh = minhash_batch(grams, a, b)
+        sh = simhash_batch(grams) if with_simhash else pd.Series(
+            np.zeros(len(grams), dtype=np.int64)
+        )
+        # numpy arrays pass through Arrow without per-int Python boxing
+        return pd.DataFrame({"shingles": grams, "minhash": mh, "simhash": sh})
+
+    return _sig

@@ -87,3 +87,17 @@ def char_ngrams(col: Column | str, k: int, stride: int = 1) -> Column:
             lambda i: F.substring(c, i, k),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def token_hashes(col: Column | str, sep: str = " ") -> Column:
+    """Per-token xxhash64 → array<bigint>, a single O(n) JVM pass.
+
+    This is the scale-path input to the combined signature UDF
+    (functions.minhash.signature_udf): k-gram shingle hashes are mixed
+    from consecutive token hashes in NumPy, because building k-gram
+    STRINGS in a higher-order lambda re-evaluates the captured token
+    array per element (Catalyst inlines the alias after collapsing
+    projections) — O(n²) and ~40× slower, measured.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(F.split(c, sep), lambda s: F.xxhash64(s))

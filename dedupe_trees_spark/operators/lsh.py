@@ -68,10 +68,14 @@ def candidate_pairs(
     Returns columns (url_a, url_b) with url_a < url_b. Pairs surviving
     here are *candidates* — callers must verify before trusting them.
     """
+    # `tagged` feeds two self-joins + the rep aggregations (5 references);
+    # without persistence every reference re-evaluates the upstream
+    # explode + count shuffle — measured 4× slowdown on the pairs stage.
+    # MEMORY_AND_DISK: band rows are small (id + two longs) and spill-safe.
     counts = bands_df.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_n")
     )
-    tagged = bands_df.join(counts, ["band_id", "band_hash"])
+    tagged = bands_df.join(counts, ["band_id", "band_hash"]).persist()
 
     cold = tagged.filter(F.col("bucket_n") <= cap).select(
         "band_id", "band_hash", id_col
@@ -137,19 +141,25 @@ def verify_pairs(
     threshold: float,
     id_col: str = "url",
     shingle_col: str = "shingles",
-    kind: str = "minhash",
+    kind: str | None = "minhash",
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs → (url_a, url_b,
-    kind, score) for pairs with J ≥ threshold."""
+    kind, score) for pairs with J ≥ threshold.
+
+    ``kind=None`` passes through an existing ``kind`` column so several
+    candidate sources can share ONE verification join (the shingle-set
+    shuffle is the pairs stage's dominant cost — do it once).
+    """
     sets = signatures.select(
         F.col(id_col).alias("_vid"), F.col(shingle_col).alias("_vset")
     )
+    kind_col = F.col("kind") if kind is None else F.lit(kind)
     out = (
         pairs.join(sets.withColumnRenamed("_vid", "url_a").withColumnRenamed("_vset", "_set_a"), "url_a")
         .join(sets.withColumnRenamed("_vid", "url_b").withColumnRenamed("_vset", "_set_b"), "url_b")
         .withColumn("score", jaccard_expr(F.col("_set_a"), F.col("_set_b")))
         .filter(F.col("score") >= threshold)
-        .select("url_a", "url_b", F.lit(kind).alias("kind"), "score")
+        .select("url_a", "url_b", kind_col.alias("kind"), "score")
     )
     return out
 

