@@ -32,6 +32,14 @@ class PipelineConfig:
     substring_w: int = 49
     # skew handling
     bucket_cap: int = 256
+    # storage/bandwidth: the corpus-wide shingle-set column is the largest
+    # intermediate (≈2× the text bytes). False = keep normalized text in
+    # the signatures checkpoint instead and re-derive shingle sets at
+    # verify time for candidate-involved docs only — the right trade when
+    # candidates ≪ corpus (true at 10^12 docs); measured slower at sandbox
+    # scale where candidate volume is a large corpus fraction, so the
+    # default stays True here.
+    store_shingles: bool = True
     # resolution (reference resolver chain, R4–R8 analogues)
     resolvers: tuple = ("source_order", "path_depth", "copy_pattern", "mod_date", "arbitrary")
     # execution

@@ -136,25 +136,37 @@ def signature_struct_udf(
     num_perm: int = 128,
     seed: int = 42,
     with_simhash: bool = True,
+    substr_k: int | None = None,
+    substr_w: int | None = None,
+    with_shingles: bool = True,
 ):
-    """token-hash array → struct(shingles, minhash, simhash).
+    """(token-hash array, normalized text) → struct(shingles, minhash,
+    simhash[, substr_fp]).
 
-    One Python round trip computes everything derived from shingles:
-    - shingles: distinct k-gram mixed hashes (verification sets)
-    - minhash:  num_perm multiply-shift minima
-    - simhash:  64-bit bit-vote fingerprint
+    One Python round trip computes every per-document signature:
+    - shingles:  distinct k-gram mixed hashes (verification sets)
+    - minhash:   num_perm multiply-shift minima
+    - simhash:   64-bit bit-vote fingerprint
+    - substr_fp: winnowed rolling-hash substring fingerprints (when
+      substr_k/substr_w are set) — folded in here so the pipeline pays
+      a single Arrow transfer of the text instead of a second UDF pass
     """
     from dedupe_trees_spark.functions.simhash import simhash_batch
 
     a, b = _perm_params(num_perm, seed)
-    fields = [
-        T.StructField("shingles", T.ArrayType(T.LongType())),
+    with_substr = substr_k is not None and substr_w is not None
+    fields = []
+    if with_shingles:
+        fields.append(T.StructField("shingles", T.ArrayType(T.LongType())))
+    fields += [
         T.StructField("minhash", T.ArrayType(T.IntegerType())),
         T.StructField("simhash", T.LongType()),
     ]
+    if with_substr:
+        fields.append(T.StructField("substr_fp", T.ArrayType(T.LongType())))
 
     @F.pandas_udf(T.StructType(fields))
-    def _sig(th_arrays: pd.Series) -> pd.DataFrame:
+    def _sig(th_arrays: pd.Series, texts: pd.Series) -> pd.DataFrame:
         grams = pd.Series(
             [
                 np.unique(gram_mix(arr, shingle_k)).view(np.int64)
@@ -165,7 +177,36 @@ def signature_struct_udf(
         sh = simhash_batch(grams) if with_simhash else pd.Series(
             np.zeros(len(grams), dtype=np.int64)
         )
-        # numpy arrays pass through Arrow without per-int Python boxing
-        return pd.DataFrame({"shingles": grams, "minhash": mh, "simhash": sh})
+        # numpy arrays pass through Arrow without per-int Python boxing;
+        # shingle sets (the widest output) ship back only when stored
+        out = {"minhash": mh, "simhash": sh}
+        if with_shingles:
+            out["shingles"] = grams
+        if with_substr:
+            from dedupe_trees_spark.operators.substring import winnow_text_fps
+
+            out["substr_fp"] = winnow_text_fps(texts, substr_k, substr_w)
+        cols = [f.name for f in fields]
+        return pd.DataFrame(out)[cols]
 
     return _sig
+
+
+def shingle_set_udf(shingle_k: int = 3):
+    """token-hash array → distinct k-gram shingle hashes only.
+
+    Used by the verify join when the pipeline runs with
+    ``store_shingles=False``: shingle sets are re-derived for the
+    (small) set of candidate-involved docs instead of writing the
+    corpus-wide shingle column — the single largest intermediate —
+    to the signatures checkpoint. Must stay bit-identical to the
+    ``shingles`` field of signature_struct_udf (same gram_mix).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sets(th_arrays: pd.Series) -> pd.Series:
+        return pd.Series(
+            [np.unique(gram_mix(arr, shingle_k)).view(np.int64) for arr in th_arrays]
+        )
+
+    return _sets

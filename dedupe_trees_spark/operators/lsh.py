@@ -26,7 +26,7 @@ makes the DuckDB brute-force-Jaccard oracle an exact twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dedupe_trees_spark.functions.minhash import band_hash_array, minhash_udf
@@ -67,7 +67,14 @@ def candidate_pairs(
 
     Returns columns (url_a, url_b) with url_a < url_b. Pairs surviving
     here are *candidates* — callers must verify before trusting them.
+
+    If ``bands_df`` carries a ``src`` column (bucket provenance —
+    'minhash' / 'simhash' / 'substr'), buckets from SEVERAL candidate
+    generators can share this ONE pass (one count shuffle, one
+    self-join) and the output gains ``srcs: array<string>`` per pair.
     """
+    has_src = "src" in bands_df.columns
+    src_a = [F.col("a.src").alias("src")] if has_src else []
     # `tagged` feeds two self-joins + the rep aggregations (5 references);
     # without persistence every reference re-evaluates the upstream
     # explode + count shuffle — measured 4× slowdown on the pairs stage.
@@ -78,7 +85,7 @@ def candidate_pairs(
     tagged = bands_df.join(counts, ["band_id", "band_hash"]).persist()
 
     cold = tagged.filter(F.col("bucket_n") <= cap).select(
-        "band_id", "band_hash", id_col
+        "band_id", "band_hash", id_col, *(["src"] if has_src else [])
     )
     a, b = cold.alias("a"), cold.alias("b")
     cold_pairs = a.join(
@@ -87,28 +94,38 @@ def candidate_pairs(
         & (F.col("a.band_hash") == F.col("b.band_hash"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(
-        F.col(f"a.{id_col}").alias("url_a"), F.col(f"b.{id_col}").alias("url_b")
+        F.col(f"a.{id_col}").alias("url_a"),
+        F.col(f"b.{id_col}").alias("url_b"),
+        *src_a,
     )
 
+    # Hot buckets (> cap): a template cluster of m pages would emit
+    # m(m−1)/2 pairs — 1.2·10^7 for m=5000, 5·10^11 for m=10^6. Since the
+    # pair graph only feeds connected components, a spanning STAR per
+    # bucket gives identical cluster membership at m edges instead:
+    #   member → salt-group rep → bucket rep
+    # (salted so no single task holds the whole bucket). Every star edge
+    # is still exact-verified downstream, so a bucket mixing dissimilar
+    # docs loses only edges that other, colder buckets re-derive.
     hot = tagged.filter(F.col("bucket_n") > cap)
-    # salt: split a bucket of m members into ceil(m/cap) groups of ≤~cap
     hot = hot.withColumn(
         "salt",
         F.pmod(F.xxhash64(id_col), F.ceil(F.col("bucket_n") / cap).cast("long")),
     )
-    h1, h2 = hot.alias("a"), hot.alias("b")
-    hot_pairs = h1.join(
-        h2,
-        (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col("a.salt") == F.col("b.salt"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("url_a"), F.col(f"b.{id_col}").alias("url_b")
+    salt_rep = F.min(id_col).over(Window.partitionBy("band_id", "band_hash", "salt"))
+    hot_src = [F.col("src")] if has_src else []
+    hot_star = (
+        hot.withColumn("_rep", salt_rep)
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.least(id_col, "_rep").alias("url_a"),
+            F.greatest(id_col, "_rep").alias("url_b"),
+            *hot_src,
+        )
     )
-    # chain edges: salt-group rep ↔ bucket rep keeps the bucket connected
     reps = hot.groupBy("band_id", "band_hash", "salt").agg(
-        F.min(id_col).alias("salt_rep")
+        F.min(id_col).alias("salt_rep"),
+        *([F.first("src").alias("src")] if has_src else []),
     )
     bucket_rep = reps.groupBy("band_id", "band_hash").agg(
         F.min("salt_rep").alias("bucket_rep")
@@ -119,14 +136,16 @@ def candidate_pairs(
         .select(
             F.least("salt_rep", "bucket_rep").alias("url_a"),
             F.greatest("salt_rep", "bucket_rep").alias("url_b"),
+            *hot_src,
         )
     )
 
-    return (
-        cold_pairs.unionByName(hot_pairs)
-        .unionByName(chain)
-        .dropDuplicates(["url_a", "url_b"])
-    )
+    out = cold_pairs.unionByName(hot_star).unionByName(chain)
+    if has_src:
+        return out.groupBy("url_a", "url_b").agg(
+            F.array_sort(F.collect_set("src")).alias("srcs")
+        )
+    return out.dropDuplicates(["url_a", "url_b"])
 
 
 def jaccard_expr(a, b):

@@ -95,6 +95,23 @@ def _rolling_gram_hashes(data: bytes, k: int) -> np.ndarray:
     return h
 
 
+def winnow_text_fps(texts: pd.Series, k: int, w: int) -> pd.Series:
+    """Batch core of the text-winnow path (shared with the combined
+    signature UDF in functions/minhash.py)."""
+    out = []
+    for t in texts:
+        if not t:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        h = _rolling_gram_hashes(t.encode("utf-8"), k)
+        if len(h) <= w:
+            out.append(np.array([h.min()], dtype=np.uint64).view(np.int64))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        out.append(np.unique(win.min(axis=1)).view(np.int64))
+    return pd.Series(out)
+
+
 def winnow_text_udf(k: int, w: int):
     """text → winnowed fingerprint array, all inside one pandas UDF.
 
@@ -106,18 +123,7 @@ def winnow_text_udf(k: int, w: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _winnow_text(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if not t:
-                out.append(np.empty(0, dtype=np.int64))
-                continue
-            h = _rolling_gram_hashes(t.encode("utf-8"), k)
-            if len(h) <= w:
-                out.append(np.array([h.min()], dtype=np.uint64).view(np.int64))
-                continue
-            win = np.lib.stride_tricks.sliding_window_view(h, w)
-            out.append(np.unique(win.min(axis=1)).view(np.int64))
-        return pd.Series(out)
+        return winnow_text_fps(texts, k, w)
 
     return _winnow_text
 

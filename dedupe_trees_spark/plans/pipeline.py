@@ -29,9 +29,7 @@ from dedupe_trees_spark.io import read_pages, read_stage, stage_done, write_stag
 from dedupe_trees_spark.operators import resolve as R
 from dedupe_trees_spark.operators.components import assign_components
 from dedupe_trees_spark.operators.exact import exact_edges
-from dedupe_trees_spark.operators.lsh import explode_bands, verify_pairs, candidate_pairs
-from dedupe_trees_spark.operators.simhash_join import simhash_pairs
-from dedupe_trees_spark.operators.substring import winnow_text_udf
+from dedupe_trees_spark.operators.lsh import candidate_pairs, explode_bands, verify_pairs
 from dedupe_trees_spark.plans.lineage import record_stage
 
 STAGES = ["signatures", "bands", "pairs", "components", "canonical"]
@@ -60,30 +58,33 @@ class DedupePipeline:
         df = df.withColumn("content_hash", content_hash("norm")).withColumn(
             "n_chars", F.length("norm")
         )
-        # one Python round trip computes shingle sets + MinHash + SimHash
-        # from the JVM-hashed token array (see token_hashes docstring for
-        # why shingles are mixed in NumPy, not built as strings)
+        # ONE Python round trip computes shingle sets + MinHash + SimHash
+        # (from the JVM-hashed token array — see token_hashes docstring for
+        # why shingles are mixed in NumPy, not built as strings) + winnowed
+        # substring fingerprints (from the text bytes)
         sig = signature_struct_udf(
             shingle_k=cfg.shingle_k,
             num_perm=cfg.num_perm,
             seed=cfg.minhash_seed,
             with_simhash=cfg.enable_simhash,
+            substr_k=cfg.substring_k if cfg.enable_substring else None,
+            substr_w=cfg.substring_w if cfg.enable_substring else None,
+            with_shingles=cfg.store_shingles,
         )
-        df = df.withColumn("_sig", sig(token_hashes("norm")))
-        df = (
-            df.withColumn("shingles", F.col("_sig.shingles"))
-            .withColumn("minhash", F.col("_sig.minhash"))
-            .withColumn("simhash", F.col("_sig.simhash"))
-            .drop("_sig")
+        df = df.withColumn("_sig", sig(token_hashes("norm"), F.col("norm")))
+        df = df.withColumn("minhash", F.col("_sig.minhash")).withColumn(
+            "simhash", F.col("_sig.simhash")
         )
+        if cfg.store_shingles:
+            df = df.withColumn("shingles", F.col("_sig.shingles"))
+        if cfg.enable_substring:
+            df = df.withColumn("substr_fp", F.col("_sig.substr_fp"))
+        df = df.drop("_sig")
         if not cfg.enable_simhash:
             df = df.drop("simhash")
-        if cfg.enable_substring:
-            df = df.withColumn(
-                "substr_fp",
-                winnow_text_udf(cfg.substring_k, cfg.substring_w)(F.col("norm")),
-            )
-        return df.drop("norm")
+        # store_shingles=False keeps `norm` (3× smaller than the shingle
+        # column) so verify can re-derive sets for candidate docs only
+        return df if not cfg.store_shingles else df.drop("norm")
 
     def _build_bands(self) -> DataFrame:
         cfg = self.cfg
@@ -96,10 +97,14 @@ class DedupePipeline:
         cfg = self.cfg
         sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
 
-        # candidate pairs from MinHash bands and SimHash chunks share ONE
-        # exact-Jaccard verification join — the shingle-set shuffle is the
-        # dominant cost of this stage, so it runs once over the deduped
-        # candidate union rather than once per source
+        # candidate pairs from MinHash bands and SimHash chunks (the
+        # latter Hamming-prefiltered — 16-bit chunk buckets over-generate
+        # ~30 random collisions per doc) share ONE exact-Jaccard
+        # verification join: the shingle-set join is this stage's dominant
+        # cost, so it runs once over the deduped candidate union.
+        # (A fully-merged single bucket table for all three generators was
+        # tried and measured SLOWER: per-pair provenance forces a
+        # collect_set aggregate over the largest shuffle of the job.)
         cand_frames = []
         if cfg.enable_minhash:
             bands = read_stage(self.spark, cfg.ckpt_dir, "bands")
@@ -108,6 +113,8 @@ class DedupePipeline:
                 .withColumn("kind", F.lit("minhash"))
             )
         if cfg.enable_simhash:
+            from dedupe_trees_spark.operators.simhash_join import simhash_pairs
+
             cand_frames.append(
                 simhash_pairs(
                     sigs.select("url", "simhash"),
@@ -125,9 +132,35 @@ class DedupePipeline:
             for c in cand_frames[1:]:
                 cands = cands.unionByName(c)
             cands = cands.groupBy("url_a", "url_b").agg(F.min("kind").alias("kind"))
+            if "shingles" in sigs.columns:
+                sets = sigs
+            else:
+                # shingle sets were not stored (store_shingles=False):
+                # re-derive them for candidate-involved docs only — a
+                # left-semi join keeps this proportional to candidate
+                # volume, not corpus size
+                from dedupe_trees_spark.functions.minhash import shingle_set_udf
+                from dedupe_trees_spark.functions.text import token_hashes
+
+                cands = cands.persist()
+                cand_urls = (
+                    cands.select(F.col("url_a").alias("url"))
+                    .unionByName(cands.select(F.col("url_b").alias("url")))
+                    .dropDuplicates(["url"])
+                )
+                sets = (
+                    sigs.join(cand_urls, "url", "left_semi")
+                    .select(
+                        "url",
+                        shingle_set_udf(cfg.shingle_k)(token_hashes("norm")).alias(
+                            "shingles"
+                        ),
+                    )
+                    .persist()
+                )
             edge_frames.append(
                 verify_pairs(
-                    cands, sigs, cfg.jaccard_threshold, id_col="url",
+                    cands, sets, cfg.jaccard_threshold, id_col="url",
                     shingle_col="shingles", kind=None,
                 )
             )

@@ -756,3 +756,38 @@ ORACLES.update(
         "multimodal_meta": SQL_MULTIMODAL_META,
     }
 )
+
+
+def q_winnow_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint substring pairs (the 100-TB scale path; the
+    stride-1 exact query above is its oracle-checked sibling). Rows-only
+    check: winnowing guarantees detection of runs ≥ k+w−1 = 96 chars but
+    also (correctly) finds shorter shared k-grams, so it is a superset of
+    a fixed-length SQL predicate — pytest proves winnow ⊆ exact-gram."""
+    from dedupe_trees_spark.operators.substring import substring_pairs_winnow
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = substring_pairs_winnow(d, id_col="doc_id", k=48, w=49, cap=4096)
+    return pairs.select(F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b"))
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: SRP-bucketed candidates + exact cosine re-rank.
+    Rows-only check (approximate by design); recall vs the brute-force
+    twin is asserted in pytest on planted neighbors."""
+    from dedupe_trees_spark.operators.similarity import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 8)
+    out = lsh_topk(e, q, k=5, dim=64, n_bits=12, n_tables=6)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
+
+
+QUERIES.update(
+    {
+        "winnow_substring_pairs": q_winnow_substring_pairs,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+    }
+)

@@ -48,7 +48,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan parallelism must scale with cores, not file sizes: the
+        # default 128 MB per scan partition caps a ~1 GB stage at ~8
+        # tasks — pandas-UDF stages then can't use >8 cores at all
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
     )
+    # shuffle/spill dir: a single local disk does not scale with thread
+    # count the way a real cluster's per-node disks do — benchmarks point
+    # this at tmpfs (SPARK_GRAFT_LOCAL_DIR=/dev/shm/...) so scaling
+    # numbers measure the engine, not the sandbox's one virtual disk
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     gen_docs = pop_opt("--gen-docs")
     master = pop_opt("--master")
     seed = int(pop_opt("--seed", "42"))
+    warmup = "--warmup" in argv
+    if warmup:
+        argv.remove("--warmup")
 
     from dedupe_trees_spark.config import from_args
     from dedupe_trees_spark.session import get_spark
@@ -46,6 +49,28 @@ def main(argv: list[str] | None = None) -> int:
         generate_pages(spark, gcfg).write.mode("overwrite").parquet(cfg.input_path)
 
     from dedupe_trees_spark.plans.pipeline import DedupePipeline
+
+    if warmup:
+        # benchmark mode: run the whole pipeline once on a tiny synthetic
+        # input so JIT/codegen + the Python UDF worker pool are warm before
+        # the timed section (first evaluation in a fresh JVM measured 2-3×
+        # slower than steady state)
+        import shutil
+        import tempfile
+
+        from dedupe_trees_spark.datagen import GenConfig, generate_pages
+        from dedupe_trees_spark.config import PipelineConfig as _PC
+        from dataclasses import replace
+
+        wdir = tempfile.mkdtemp(prefix="dedupe_warmup_")
+        generate_pages(spark, GenConfig(n_docs=20_000, seed=7)).write.mode(
+            "overwrite"
+        ).parquet(f"{wdir}/pages")
+        DedupePipeline(
+            spark,
+            replace(cfg, input_path=f"{wdir}/pages", ckpt_dir=f"{wdir}/ckpt"),
+        ).run()
+        shutil.rmtree(wdir, ignore_errors=True)
 
     t0 = time.time()
     pipe = DedupePipeline(spark, cfg)

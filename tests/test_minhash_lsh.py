@@ -145,3 +145,24 @@ def test_lsh_recall_on_synthetic_pages(spark):
     # precision is exact by construction (verified pairs only)
     false_pos = got - truth
     assert not false_pos, f"verified pairs must be a subset of truth: {list(false_pos)[:5]}"
+
+
+def test_gram_mix_determinism_and_shift_sensitivity():
+    import numpy as np
+    from dedupe_trees_spark.functions.minhash import gram_mix
+
+    rng = np.random.default_rng(2)
+    th = rng.integers(-(2**62), 2**62, size=50, dtype=np.int64)
+    a = gram_mix(th, 3)
+    b = gram_mix(th, 3)
+    assert np.array_equal(a, b)
+    assert len(a) == 48
+    # same tokens shifted by one → 47 shared gram values
+    shifted = gram_mix(th[1:], 3)
+    assert len(np.intersect1d(a, shifted)) == 47
+    # short docs: single gram
+    assert len(gram_mix(th[:2], 3)) == 1
+    assert len(gram_mix(th[:0], 3)) == 0
+    # order matters
+    rev = gram_mix(th[::-1].copy(), 3)
+    assert len(np.intersect1d(a, rev)) == 0
