@@ -129,3 +129,30 @@ def apply_delete_sink(pages: DataFrame, removed: DataFrame, url_col: str = "url"
     new canonical table.
     """
     return pages.join(removed.select(url_col), url_col, "left_anti")
+
+
+def apply_sequester_sink(
+    pages: DataFrame,
+    removed: DataFrame,
+    dest: str,
+    url_col: str = "url",
+    partition_col: str = "source",
+) -> None:
+    """R12 sequester-sink analogue: move removals aside, preserving origin.
+
+    The reference ``os.renames`` each removal under a sequester root
+    keeping its relative path; here the full removed rows are written to
+    a sequester table partitioned by their source (the lineage analogue
+    of the original relative path).
+    """
+    full = pages.join(removed.select(url_col), url_col, "left_semi")
+    writer = full.write.mode("overwrite")
+    if partition_col in pages.columns:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(dest)
+
+
+def write_manifest(removed: DataFrame, dest: str, url_col: str = "url") -> None:
+    """R13 output-only sink: the removal list itself, one url per row
+    (CSV so it is greppable exactly like the reference's text file)."""
+    removed.select(url_col).write.mode("overwrite").csv(dest)

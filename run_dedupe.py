@@ -32,6 +32,8 @@ def main(argv: list[str] | None = None) -> int:
     gen_docs = pop_opt("--gen-docs")
     master = pop_opt("--master")
     seed = int(pop_opt("--seed", "42"))
+    sequester_dir = pop_opt("--sequester")   # R12 sink: removals moved aside
+    manifest_dir = pop_opt("--manifest")     # R13 sink: removal list (csv)
     warmup = "--warmup" in argv
     if warmup:
         argv.remove("--warmup")
@@ -76,6 +78,19 @@ def main(argv: list[str] | None = None) -> int:
     pipe = DedupePipeline(spark, cfg)
     report = pipe.run()
     wall = time.time() - t0
+
+    if sequester_dir or manifest_dir:
+        from dedupe_trees_spark.io import read_pages
+        from dedupe_trees_spark.operators.resolve import (
+            apply_sequester_sink,
+            write_manifest,
+        )
+
+        removed = pipe.removals()
+        if sequester_dir:
+            apply_sequester_sink(read_pages(spark, cfg.input_path), removed, sequester_dir)
+        if manifest_dir:
+            write_manifest(removed, manifest_dir)
 
     canon = pipe.canonical()
     n_total = canon.count()
