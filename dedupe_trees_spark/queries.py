@@ -266,7 +266,7 @@ def q_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TOP_SOURCES = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY source
 ORDER BY n_docs DESC, source ASC
@@ -310,8 +310,13 @@ ORACLES: dict[str, str] = {
 _JACCARD_SQL_CTES = """
   toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
   grams AS (
+    -- stride-1 3-word shingles; docs with <3 tokens contribute one
+    -- whole-text shingle, matching the engine's word_shingles semantics
+    -- (functions/text.py word_shingles: short docs still participate)
     SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
     FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i FROM toks)
+    UNION
+    SELECT doc_id, array_to_string(arr, ' ') AS g FROM toks WHERE len(arr) < 3
   ),
   sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
   inter AS (
@@ -691,7 +696,7 @@ WITH marked AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM marked GROUP BY user_id
 """
 
