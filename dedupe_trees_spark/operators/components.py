@@ -93,7 +93,14 @@ def connected_components(
     """
     spark = edges.sparkSession
     cur = _canonical_edges(edges, a, b)
-    cur = cur.localCheckpoint(eager=True)
+    if ckpt_dir is not None:
+        # parquet-backed everywhere when a checkpoint dir exists: nothing
+        # stays cached in executor memory after the job (cache hygiene)
+        path = f"{ckpt_dir}/cc_iter_init"
+        cur.write.mode("overwrite").parquet(path)
+        cur = spark.read.parquet(path)
+    else:
+        cur = cur.localCheckpoint(eager=True)
     sig = _signature(cur)
     for it in range(max_iter):
         nxt = _small_star(_large_star(cur))

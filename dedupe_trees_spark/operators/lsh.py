@@ -62,6 +62,7 @@ def candidate_pairs(
     bands_df: DataFrame,
     id_col: str = "url",
     cap: int = 256,
+    scratch_path: str | None = None,
 ) -> DataFrame:
     """Bucket-join candidates with hot-bucket salting; distinct (a,b) pairs.
 
@@ -72,17 +73,28 @@ def candidate_pairs(
     'minhash' / 'simhash' / 'substr'), buckets from SEVERAL candidate
     generators can share this ONE pass (one count shuffle, one
     self-join) and the output gains ``srcs: array<string>`` per pair.
+
+    Materialization: ``tagged`` feeds two self-joins + the rep
+    aggregations (5 references); without materialization every reference
+    re-evaluates the upstream explode + count shuffle — measured 4×
+    slowdown on the pairs stage. With ``scratch_path`` (the pipeline /
+    100-TB path) it is spilled to parquet and re-read — no executor
+    memory is pinned and nothing stays cached after the job. Without it
+    (ad-hoc queries) ``tagged`` is persisted only for the duration of
+    this call: the output is eagerly local-checkpointed, then ``tagged``
+    is unpersisted before returning.
     """
     has_src = "src" in bands_df.columns
     src_a = [F.col("a.src").alias("src")] if has_src else []
-    # `tagged` feeds two self-joins + the rep aggregations (5 references);
-    # without persistence every reference re-evaluates the upstream
-    # explode + count shuffle — measured 4× slowdown on the pairs stage.
-    # MEMORY_AND_DISK: band rows are small (id + two longs) and spill-safe.
     counts = bands_df.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_n")
     )
-    tagged = bands_df.join(counts, ["band_id", "band_hash"]).persist()
+    tagged = bands_df.join(counts, ["band_id", "band_hash"])
+    if scratch_path is not None:
+        tagged.write.mode("overwrite").parquet(scratch_path)
+        tagged = bands_df.sparkSession.read.parquet(scratch_path)
+    else:
+        tagged = tagged.persist()
 
     cold = tagged.filter(F.col("bucket_n") <= cap).select(
         "band_id", "band_hash", id_col, *(["src"] if has_src else [])
@@ -142,10 +154,17 @@ def candidate_pairs(
 
     out = cold_pairs.unionByName(hot_star).unionByName(chain)
     if has_src:
-        return out.groupBy("url_a", "url_b").agg(
+        out = out.groupBy("url_a", "url_b").agg(
             F.array_sort(F.collect_set("src")).alias("srcs")
         )
-    return out.dropDuplicates(["url_a", "url_b"])
+    else:
+        out = out.dropDuplicates(["url_a", "url_b"])
+    if scratch_path is None:
+        # materialize now so the persisted band table can be released —
+        # candidate pairs are tiny next to the band table they came from
+        out = out.localCheckpoint(eager=True)
+        tagged.unpersist()
+    return out
 
 
 def jaccard_expr(a, b):
@@ -192,8 +211,9 @@ def minhash_lsh_pairs(
     rows: int = 4,
     cap: int = 256,
     threshold: float = 0.8,
+    scratch_path: str | None = None,
 ) -> DataFrame:
     """signatures (with shingle sets + minhash) → verified near-dup pairs."""
     bands_df = explode_bands(signatures, sig_col=sig_col, id_col=id_col, bands=bands, rows=rows)
-    cands = candidate_pairs(bands_df, id_col=id_col, cap=cap)
+    cands = candidate_pairs(bands_df, id_col=id_col, cap=cap, scratch_path=scratch_path)
     return verify_pairs(cands, signatures, threshold, id_col=id_col, shingle_col=shingle_col)

@@ -42,10 +42,11 @@ def simhash_pairs(
     n_chunks: int = 4,
     max_hamming: int = 3,
     cap: int = 256,
+    scratch_path: str | None = None,
 ) -> DataFrame:
     """(url, simhash) → pairs with Hamming(simhash) ≤ max_hamming."""
     chunks = explode_chunks(df, sim_col=sim_col, id_col=id_col, n_chunks=n_chunks)
-    cands = candidate_pairs(chunks, id_col=id_col, cap=cap)
+    cands = candidate_pairs(chunks, id_col=id_col, cap=cap, scratch_path=scratch_path)
     sims = df.select(F.col(id_col), F.col(sim_col))
     out = (
         cands.join(

@@ -116,8 +116,10 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
     ).withColumn("bucket", F.explode(srp(F.col("_qvec"))))
+    # queries are tiny by construction — broadcast so the corpus-side
+    # bucket table is never shuffled for this join
     cands = (
-        c.join(q, "bucket")
+        c.join(F.broadcast(q), "bucket")
         .filter(F.col(id_col) != F.col(query_id_col))
         .dropDuplicates([query_id_col, id_col])
     )

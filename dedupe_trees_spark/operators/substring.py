@@ -129,14 +129,14 @@ def winnow_text_udf(k: int, w: int):
 
 
 def _pairs_from_gram_sets(
-    df: DataFrame, grams_col, id_col: str, cap: int
+    df: DataFrame, grams_col, id_col: str, cap: int, scratch_path: str | None = None
 ) -> DataFrame:
     """(id, array<gram_hash>) → distinct candidate pairs via bucket join."""
     buckets = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(grams_col)).alias("band_hash"),
     ).withColumn("band_id", F.lit(0))
-    return candidate_pairs(buckets, id_col=id_col, cap=cap)
+    return candidate_pairs(buckets, id_col=id_col, cap=cap, scratch_path=scratch_path)
 
 
 def substring_pairs_exact(

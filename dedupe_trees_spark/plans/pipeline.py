@@ -105,11 +105,15 @@ class DedupePipeline:
         # (A fully-merged single bucket table for all three generators was
         # tried and measured SLOWER: per-pair provenance forces a
         # collect_set aggregate over the largest shuffle of the job.)
+        scratch = f"{cfg.ckpt_dir}/_scratch"
         cand_frames = []
         if cfg.enable_minhash:
             bands = read_stage(self.spark, cfg.ckpt_dir, "bands")
             cand_frames.append(
-                candidate_pairs(bands, id_col="url", cap=cfg.bucket_cap)
+                candidate_pairs(
+                    bands, id_col="url", cap=cfg.bucket_cap,
+                    scratch_path=f"{scratch}/minhash_tagged",
+                )
                 .withColumn("kind", F.lit("minhash"))
             )
         if cfg.enable_simhash:
@@ -121,6 +125,7 @@ class DedupePipeline:
                     id_col="url",
                     max_hamming=cfg.simhash_max_hamming,
                     cap=cfg.bucket_cap,
+                    scratch_path=f"{scratch}/simhash_tagged",
                 )
                 .select("url_a", "url_b")
                 .withColumn("kind", F.lit("simhash"))
@@ -138,26 +143,26 @@ class DedupePipeline:
                 # shingle sets were not stored (store_shingles=False):
                 # re-derive them for candidate-involved docs only — a
                 # left-semi join keeps this proportional to candidate
-                # volume, not corpus size
+                # volume, not corpus size. Both intermediates spill to
+                # parquet scratch (multiple consumers; nothing cached).
                 from dedupe_trees_spark.functions.minhash import shingle_set_udf
                 from dedupe_trees_spark.functions.text import token_hashes
 
-                cands = cands.persist()
+                cands.write.mode("overwrite").parquet(f"{scratch}/cands")
+                cands = self.spark.read.parquet(f"{scratch}/cands")
                 cand_urls = (
                     cands.select(F.col("url_a").alias("url"))
                     .unionByName(cands.select(F.col("url_b").alias("url")))
                     .dropDuplicates(["url"])
                 )
-                sets = (
-                    sigs.join(cand_urls, "url", "left_semi")
-                    .select(
-                        "url",
-                        shingle_set_udf(cfg.shingle_k)(token_hashes("norm")).alias(
-                            "shingles"
-                        ),
-                    )
-                    .persist()
+                sets = sigs.join(cand_urls, "url", "left_semi").select(
+                    "url",
+                    shingle_set_udf(cfg.shingle_k)(token_hashes("norm")).alias(
+                        "shingles"
+                    ),
                 )
+                sets.write.mode("overwrite").parquet(f"{scratch}/sets")
+                sets = self.spark.read.parquet(f"{scratch}/sets")
             edge_frames.append(
                 verify_pairs(
                     cands, sets, cfg.jaccard_threshold, id_col="url",
@@ -168,7 +173,8 @@ class DedupePipeline:
             from dedupe_trees_spark.operators.substring import _pairs_from_gram_sets
 
             sub = _pairs_from_gram_sets(
-                sigs.select("url", "substr_fp"), F.col("substr_fp"), "url", cfg.bucket_cap
+                sigs.select("url", "substr_fp"), F.col("substr_fp"), "url",
+                cfg.bucket_cap, scratch_path=f"{scratch}/substr_tagged",
             ).select(
                 "url_a", "url_b", F.lit("substr").alias("kind"), F.lit(1.0).alias("score")
             )

@@ -7,10 +7,12 @@ actually operates: new WARC partitions arrive continuously, exact dups
 re-clusters near-dups.
 
 Mechanics: ``readStream`` over a pages directory → content hash →
-``dropDuplicates`` keyed on (content_hash) with a watermark on warc_ts
-bounding the dedup state (late pages beyond the watermark are treated
-as new — at 10^12 docs unbounded exact-dedup state is not an option).
-``foreachBatch`` writes parquet so the sink is exactly-once per batch.
+``dropDuplicatesWithinWatermark`` keyed on (content_hash) with a
+watermark on warc_ts, so dedup state for a hash is EVICTED once the
+watermark passes its last-seen event time (duplicates arriving later
+than the watermark slack are treated as new — at 10^12 docs unbounded
+exact-dedup state is not an option). ``foreachBatch`` writes parquet so
+the sink is exactly-once per batch.
 """
 
 from __future__ import annotations
@@ -42,7 +44,11 @@ def incremental_exact_dedup(
         "url", "warc_ts", "lang", "source",
         content_hash(normalize_text("text")).alias("content_hash"),
     )
-    return hashed.withWatermark("warc_ts", watermark).dropDuplicates(
+    # dropDuplicatesWithinWatermark evicts state once the watermark passes
+    # a key's last-seen event time — plain dropDuplicates([content_hash])
+    # would keep every content_hash forever (unbounded state at 10^12
+    # docs), and adding warc_ts to the subset would stop deduping at all
+    return hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
 

@@ -45,10 +45,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("run_dedupe", master=master)
 
     if gen_docs:
+        from dataclasses import replace as _replace
+
         from dedupe_trees_spark.datagen import GenConfig, generate_pages
 
         gcfg = GenConfig(n_docs=int(gen_docs), seed=seed)
         generate_pages(spark, gcfg).write.mode("overwrite").parquet(cfg.input_path)
+        # the input was just regenerated — stale stage checkpoints would
+        # silently report results computed from the PREVIOUS input
+        cfg = _replace(cfg, resume=False)
 
     from dedupe_trees_spark.plans.pipeline import DedupePipeline
 

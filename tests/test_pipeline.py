@@ -143,6 +143,21 @@ def test_deduped_pages_sink(pipeline_run):
     assert n_removed > 0
 
 
+def test_no_cached_rdds_leak_from_pipeline_run(spark, tmp_path):
+    """Cache hygiene: a full pipeline run must leave nothing persisted —
+    long-lived drivers loop over runs, so every cached band table would
+    accumulate executor memory forever."""
+    inp = str(tmp_path / "pages")
+    generate_pages(spark, GenConfig(n_docs=300, seed=11), partitions=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    cfg = PipelineConfig(input_path=inp, ckpt_dir=str(tmp_path / "ckpt"), bucket_cap=64)
+    DedupePipeline(spark, cfg).run()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), f"pipeline leaked cached RDDs: {after - before}"
+
+
 def test_config_from_args():
     cfg = from_args(
         [
