@@ -202,6 +202,39 @@ FROM pages
 """
 
 
+def q_mod_date_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mod_date resolver (R6: ModificationDateDuplicateResolver — oldest
+    wins) driven through the same resolve() chain machinery: dup-set
+    proxy = o_custkey, timestamp key = o_orderdate, chain
+    (mod_date, arbitrary). Output dates serialized to 'yyyy-MM-dd'
+    strings: DuckDB DATE materializes as datetime64 in pandas, which
+    hashes differently from Spark's date objects."""
+    o = load(spark, sf_dir, "orders")
+    df = o.select(
+        F.col("o_custkey").alias("component_id"),
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.col("o_orderdate").alias("warc_ts"),
+    )
+    resolved = R.resolve(df, ["mod_date", "arbitrary"])
+    return resolved.filter("is_canonical").select(
+        "component_id", "url", F.date_format("warc_ts", "yyyy-MM-dd").alias("mod_date")
+    )
+
+
+SQL_MOD_DATE_RESOLUTION = """
+SELECT component_id, url, mod_date FROM (
+  SELECT o_custkey AS component_id,
+         'order:' || CAST(o_orderkey AS VARCHAR) AS url,
+         strftime(o_orderdate, '%Y-%m-%d') AS mod_date,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, 'order:' || CAST(o_orderkey AS VARCHAR) ASC
+         ) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
 def q_dup_set_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-set size histogram (per-lang proxy sets)."""
     d = load(spark, sf_dir, "documents")
@@ -284,6 +317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_ties_survivors": q_rank_ties_survivors,
     "removal_manifest": q_removal_manifest,
     "path_depth_copy_flags": q_path_depth_copy_flags,
+    "mod_date_resolution": q_mod_date_resolution,
     "dup_set_histogram": q_dup_set_histogram,
     "pricing_summary": q_pricing_summary,
     "top_sources": q_top_sources,
@@ -296,6 +330,7 @@ ORACLES: dict[str, str] = {
     "rank_ties_survivors": SQL_RANK_TIES_SURVIVORS,
     "removal_manifest": SQL_REMOVAL_MANIFEST,
     "path_depth_copy_flags": SQL_PATH_DEPTH_COPY_FLAGS,
+    "mod_date_resolution": SQL_MOD_DATE_RESOLUTION,
     "dup_set_histogram": SQL_DUP_SET_HISTOGRAM,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_sources": SQL_TOP_SOURCES,
