@@ -4,11 +4,12 @@ Like MinHash, the Python side only sees the JVM-computed token/shingle
 hash arrays (int64): the bit-vote is pure NumPy — unpack each hash into
 ±1 bit votes, sum per document, sign → packed uint64 fingerprint.
 
-Candidate generation uses the pigeonhole principle (SURVEY.md §2.2):
-split the 64-bit fingerprint into 4 chunks of 16 bits; any pair within
-Hamming distance ≤ 3 must agree on at least one chunk, so an equi-join
-per chunk finds all such pairs, then an exact popcount(xor) filter
-(and, in the pipeline, exact-Jaccard verification) removes the rest.
+Candidate generation uses the block-permutation pigeonhole (SURVEY.md
+§2.2, Manku et al. WWW'07): 5 bit-blocks, one probe table per block
+PAIR (C(5,2) = 10 tables, ~26-bit keys); any pair within Hamming
+distance ≤ 3 leaves ≥2 blocks intact, so at least one table's equi-join
+finds it. An exact popcount(xor) filter (and, in the pipeline,
+exact-Jaccard verification) removes the rest.
 """
 
 from __future__ import annotations
@@ -57,24 +58,45 @@ def simhash_udf(arrays: pd.Series) -> pd.Series:
     return simhash_batch(arrays)
 
 
-def simhash_chunks(col: Column | str, n_chunks: int = 4) -> Column:
-    """64-bit simhash → array of (chunk_id << 16 | 16-bit chunk value).
+# 5 bit-blocks of the 64-bit fingerprint: (offset, width)
+SIMHASH_BLOCKS = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
 
-    Packing the chunk index into the value keeps the later equi-join a
-    single-column join on a long.
+
+def simhash_block_keys(col: Column | str, d: int = 3) -> Column:
+    """64-bit simhash → array of per-table bucket keys (block-permutation
+    scheme after Manku/Jain/Das Sarma, WWW'07 §3: probe tables keyed on
+    block subsets such that every ≤d-bit difference leaves one table's
+    key blocks intact).
+
+    B = 5 blocks (13/13/13/13/12 bits); tables = all C(5,2) = 10
+    unordered block pairs, so each key is ~26 bits wide. Any pair within
+    Hamming distance ≤ 3 corrupts at most 3 blocks, leaving ≥ 2 intact —
+    at least one table keys both docs into the same bucket (zero false
+    negatives, like the pigeonhole chunk split).
+
+    Why not 4 × 16-bit chunks: a 16-bit key space has n/65536 expected
+    docs per bucket — at 10^9+ docs EVERY bucket exceeds any practical
+    cap, so all candidates degrade to the hot-bucket star fallback and
+    true Hamming-≤3 pairs are silently lost. 26-bit keys keep expected
+    bucket size O(n / 2^26) — ~15 docs at 10^9, still cold at the
+    default cap — and the count grows only linearly with corpus size.
+    The position in the returned array is the table id (posexplode
+    provides it as band_id downstream).
     """
+    if d != 3:
+        raise ValueError("block layout is sized for max_hamming <= 3")
     c = F.col(col) if isinstance(col, str) else col
-    width = 64 // n_chunks
-    mask = (1 << width) - 1
-    # unrolled in Python: shift amounts must be literals, and n_chunks is
-    # a compile-time constant anyway
-    return F.array(
-        *[
-            F.lit((i + 1) << 48)
-            + F.shiftrightunsigned(c, i * width).bitwiseAND(F.lit(mask))
-            for i in range(n_chunks)
-        ]
-    )
+    vals = [
+        F.shiftrightunsigned(c, off).bitwiseAND(F.lit((1 << width) - 1))
+        for off, width in SIMHASH_BLOCKS
+    ]
+    keys = []
+    n = len(SIMHASH_BLOCKS)
+    for i in range(n):
+        for j in range(i + 1, n):
+            # second block shifted past the widest first block (13 bits)
+            keys.append(F.shiftleft(vals[i], 13) + vals[j])
+    return F.array(*keys)
 
 
 def hamming_dist(a: Column, b: Column) -> Column:

@@ -45,6 +45,43 @@ def test_simhash_pairs_end_to_end(spark):
     assert all({a, b} != {"u1", "u3"} for a, b, _ in pairs)
 
 
+def test_simhash_block_recall_at_scale_with_tiny_cap(spark):
+    """Scale property of the block-pair scheme (Manku WWW'07): recall of
+    planted Hamming-≤3 pairs must survive a corpus size where the OLD
+    4×16-bit chunk buckets are saturated past the cap.
+
+    200k random fingerprints with cap=2 reproduces the web-scale regime
+    scaled down: 16-bit chunk buckets would average ~3 members (> cap →
+    every candidate through the lossy star fallback), while 26-bit
+    block-pair buckets average ~0.003 members — cold, so every planted
+    pair is found by a direct bucket join. Recall must be ≥ 0.99."""
+    n, n_planted = 200_000, 300
+    base = spark.range(n).select(
+        F.concat(F.lit("r"), F.col("id")).alias("url"),
+        F.xxhash64("id").alias("simhash"),
+    )
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(n_planted):
+        h = int(rng.integers(-(2**63), 2**63, dtype=np.int64))
+        h2 = h
+        for b in rng.choice(64, size=int(rng.integers(1, 4)), replace=False):
+            h2 ^= 1 << int(b)
+        h2 = int(np.int64(np.uint64(h2 % 2**64)))
+        rows.append((f"planted{i}a", h))
+        rows.append((f"planted{i}b", h2))
+    planted = spark.createDataFrame(rows, "url string, simhash long")
+    df = base.unionByName(planted)
+    out = simhash_pairs(df, cap=2)
+    got = {
+        (r["url_a"], r["url_b"])
+        for r in out.filter(F.col("url_a").startswith("planted")).collect()
+    }
+    want = {(f"planted{i}a", f"planted{i}b") for i in range(n_planted)}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.99, f"recall={recall}"
+
+
 def test_simhash_near_duplicate_detected(spark):
     # non-repetitive text (big distinct shingle set); one token changed out
     # of 300 flips at most 3 shingles → tiny Hamming distance, pigeonhole
