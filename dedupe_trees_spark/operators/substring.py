@@ -146,6 +146,153 @@ def substring_pairs_exact(
     return _pairs_from_gram_sets(df, gram_hashes(text_col, k), id_col, cap)
 
 
+# ---------------------------------------------------------------------------
+# Suffix-array exact-substring extents (BASELINE.json north_star names
+# "suffix-array-based exact-substring duplicate detection" explicitly).
+# Prefix-doubling suffix array + rank-level LCP, pure NumPy.
+
+
+def _sa_levels(s: np.ndarray) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Suffix array by prefix doubling (O(n log² n), all argsort/lexsort)
+    plus the per-level rank arrays, kept for O(log n) LCP queries.
+
+    ``levels[t] = (k, rank)`` where ``rank[i]`` ranks the length-k prefix
+    of the suffix at i. Input values must be non-negative ints with
+    unique sentinels so all suffixes compare distinct.
+    """
+    n = len(s)
+    rank = np.unique(s, return_inverse=True)[1].astype(np.int64)
+    levels = [(1, rank)]
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while rank[sa[-1]] != n - 1 and k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        sa = np.lexsort((key2, rank))
+        r1, r2 = rank[sa], key2[sa]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        newrank = np.cumsum(changed)
+        rank = np.empty(n, dtype=np.int64)
+        rank[sa] = newrank
+        k *= 2
+        levels.append((k, rank))
+    return sa, levels
+
+
+def _lcp_batch(levels, I: np.ndarray, J: np.ndarray, n: int) -> np.ndarray:
+    """LCP(suffix I[t], suffix J[t]) for all t, vectorized over pairs:
+    walk the doubling levels high→low, extending where length-k prefix
+    ranks agree — O(log n) vectorized passes instead of Kasai's
+    per-character Python loop."""
+    h = np.zeros(len(I), dtype=np.int64)
+    I, J = I.copy(), J.copy()
+    for k, rank in reversed(levels):
+        m = (I + k <= n) & (J + k <= n)
+        if m.any():
+            eq = np.zeros(len(I), dtype=bool)
+            eq[m] = rank[I[m]] == rank[J[m]]
+            h[eq] += k
+            I[eq] += k
+            J[eq] += k
+    return h
+
+
+def _lcs_two(a_cp: np.ndarray, b_cp: np.ndarray) -> int:
+    """Longest common substring length (in code points) of two docs via a
+    generalized suffix array: concat with unique low sentinels, then the
+    max LCP over ADJACENT suffix-array entries owned by different docs
+    (the classic GSA-LCS reduction — a non-adjacent cross-doc pair's LCP
+    is the min over the gap, so an adjacent pair always attains the max).
+    """
+    la = len(a_cp)
+    s = np.concatenate(
+        [
+            a_cp.astype(np.int64) + 2,
+            np.array([0], dtype=np.int64),
+            b_cp.astype(np.int64) + 2,
+            np.array([1], dtype=np.int64),
+        ]
+    )
+    n = len(s)
+    sa, levels = _sa_levels(s)
+    I, J = sa[:-1], sa[1:]
+    cross = (
+        ((I < la) != (J < la))
+        & (I != la) & (J != la)            # sep1 owns neither doc
+        & (I != n - 1) & (J != n - 1)      # sep2 likewise
+    )
+    if not cross.any():
+        return 0
+    return int(_lcp_batch(levels, I[cross], J[cross], n).max())
+
+
+def lcs_run_udf():
+    """(text_a, text_b) → longest shared substring length, in CHARACTERS
+    (utf-32 code points, matching SQL substr/length semantics). Arrow-
+    batched; per pair the work is NumPy suffix-array doubling."""
+
+    @F.pandas_udf(T.LongType())
+    def _lcs(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ta), dtype=np.int64)
+        for idx, (a, b) in enumerate(zip(ta, tb)):
+            if not a or not b:
+                continue
+            ac = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+            bc = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+            out[idx] = _lcs_two(ac, bc)
+        return pd.Series(out)
+
+    return _lcs
+
+
+def substring_extent_pairs(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    min_run: int = 64,
+    k: int = 24,
+    cap: int = 256,
+    scratch_path: str | None = None,
+) -> DataFrame:
+    """Pairs sharing a verbatim run of ≥ min_run chars, WITH the exact
+    longest-shared-run length: (url_a, url_b, max_run).
+
+    Plan: byte-level winnowed fingerprints with w = min_run − k + 1 (the
+    winnow guarantee then covers every run ≥ min_run chars, since a char
+    is ≥ 1 UTF-8 byte) → capped bucket join for candidates → texts joined
+    to the candidate pairs only → per-pair generalized-suffix-array LCS
+    in a pandas UDF → exact filter max_run ≥ min_run.
+
+    Texts ship once per candidate PAIR, not once per fingerprint bucket:
+    a bucket-local suffix array would duplicate each doc's text into
+    every one of its ~2/(w+1)·len buckets, while candidate volume after
+    winnowing/capping is far smaller at web scale. False positives from
+    hot-bucket star edges are removed by the exact LCS filter, so the
+    output is exact for every emitted pair.
+    """
+    w = min_run - k + 1
+    fps = df.select(
+        F.col(id_col), winnow_text_udf(k, w)(F.col(text_col)).alias("_fp")
+    )
+    cands = _pairs_from_gram_sets(fps, F.col("_fp"), id_col, cap, scratch_path)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    joined = (
+        cands.select("url_a", "url_b")
+        .join(
+            texts.select(F.col(id_col).alias("url_a"), F.col(text_col).alias("_ta")),
+            "url_a",
+        )
+        .join(
+            texts.select(F.col(id_col).alias("url_b"), F.col(text_col).alias("_tb")),
+            "url_b",
+        )
+    )
+    out = joined.withColumn("max_run", lcs_run_udf()(F.col("_ta"), F.col("_tb")))
+    return out.filter(F.col("max_run") >= min_run).select("url_a", "url_b", "max_run")
+
+
 def substring_pairs_winnow(
     df: DataFrame,
     id_col: str = "url",

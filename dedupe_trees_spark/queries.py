@@ -448,6 +448,47 @@ FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
 """
 
 
+def q_substring_extent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array exact-substring extents (the north-star operator):
+    pairs sharing a verbatim run ≥ 64 chars, with the EXACT longest
+    shared run length. Engine: winnow candidates → per-pair generalized
+    suffix array (NumPy prefix doubling). Oracle: stride-1 64-gram
+    position join → longest consecutive diagonal chain (+63) — an exact
+    relational twin of the LCS length for every qualifying pair."""
+    from dedupe_trees_spark.operators.substring import substring_extent_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = substring_extent_pairs(d, id_col="doc_id", min_run=64, k=24, cap=4096)
+    return pairs.select(
+        F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b"), "max_run"
+    )
+
+
+SQL_SUBSTRING_EXTENT_PAIRS = """
+WITH g AS (
+  SELECT doc_id, i, substr(text, i, 64) AS gram
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 63)) AS i
+        FROM documents WHERE length(text) >= 64)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, ia,
+         ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp,
+         ia - ib AS diag
+  FROM m
+),
+chains AS (
+  SELECT doc_a, doc_b, count(*) + 63 AS run_len
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b, CAST(max(run_len) AS BIGINT) AS max_run
+FROM chains GROUP BY doc_a, doc_b
+"""
+
+
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 candidate pairs, Jaccard-verified at 0.8.
     (No SQL twin — simhash is not SQL-expressible; driver records a
@@ -768,6 +809,7 @@ QUERIES.update(
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dup_pairs": q_minhash_lsh_dup_pairs,
         "substring_dup_pairs": q_substring_dup_pairs,
+        "substring_extent_pairs": q_substring_extent_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "dedup_canonical_full": q_dedup_canonical_full,
         "token_stats": q_token_stats,
@@ -785,6 +827,7 @@ ORACLES.update(
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "minhash_lsh_dup_pairs": SQL_MINHASH_LSH_DUP_PAIRS,
         "substring_dup_pairs": SQL_SUBSTRING_DUP_PAIRS,
+        "substring_extent_pairs": SQL_SUBSTRING_EXTENT_PAIRS,
         # simhash_dup_pairs: deliberately no oracle (rows-only check)
         "dedup_canonical_full": SQL_DEDUP_CANONICAL_FULL,
         "token_stats": SQL_TOKEN_STATS,

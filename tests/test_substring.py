@@ -81,3 +81,77 @@ def test_winnow_subset_of_exact_on_synthetic(spark):
             pair = (min(u, root_url), max(u, root_url))
             assert pair in winnow, f"missed substr pair {pair} in cluster {root}"
     pages.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# suffix-array extents
+
+
+def _brute_lcs(a: str, b: str) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            k = 0
+            while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                k += 1
+            best = max(best, k)
+    return best
+
+
+def test_lcs_two_matches_bruteforce_fuzz():
+    import numpy as np
+
+    from dedupe_trees_spark.operators.substring import _lcs_two
+
+    rng = np.random.default_rng(17)
+    for _ in range(200):
+        la, lb = rng.integers(1, 50, size=2)
+        a = "".join(rng.choice(list("abcd"), size=la))
+        b = "".join(rng.choice(list("abcd"), size=lb))
+        got = _lcs_two(
+            np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32),
+            np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32),
+        )
+        assert got == _brute_lcs(a, b), (a, b)
+
+
+def test_lcs_counts_characters_not_bytes():
+    import numpy as np
+
+    from dedupe_trees_spark.operators.substring import _lcs_two
+
+    a, b = "xx共有部分テキストyy", "zz共有部分テキストww"
+    got = _lcs_two(
+        np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32),
+        np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32),
+    )
+    assert got == 8  # 8 shared CJK chars, regardless of UTF-8 byte width
+
+
+def test_substring_extent_pairs_exact_run_lengths(spark):
+    from dedupe_trees_spark.operators.substring import substring_extent_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+
+    def rand_text(n):
+        return "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "), size=n))
+
+    shared_100 = rand_text(100)
+    shared_70 = rand_text(70)
+    rows = [
+        ("d1", rand_text(300) + shared_100 + rand_text(300)),
+        ("d2", rand_text(250) + shared_100 + rand_text(350)),  # 100-char run w/ d1
+        ("d3", shared_70 + rand_text(500)),
+        ("d4", rand_text(400) + shared_70),                    # 70-char run w/ d3
+        ("d5", rand_text(600)),                                # no long run
+    ]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    out = {
+        (r["url_a"], r["url_b"]): r["max_run"]
+        for r in substring_extent_pairs(df, min_run=64, k=24, cap=4096).collect()
+    }
+    assert out[("d1", "d2")] == 100
+    assert out[("d3", "d4")] == 70
+    assert all({a, b} in ({"d1", "d2"}, {"d3", "d4"}) for a, b in out)
