@@ -371,19 +371,46 @@ _JACCARD_SQL_CTES = """
 
 
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    from dedupe_trees_spark.functions.text import shingle_hashes
+    """Distinct k-gram shingle-hash sets via the pipeline's fast path:
+    JVM token hashing + NumPy gram mixing (shingle_set_udf). The pure-JVM
+    shingle_hashes() alternative builds k-gram STRINGS inside a
+    higher-order lambda — O(n²) after Catalyst inlines the token array
+    (functions/text.py token_hashes docstring) — measured ~5× slower on
+    these queries at sf0.1. Set cardinalities/intersections are
+    identical w.h.p. (64-bit mixed hashes), so exact-Jaccard values and
+    the string-shingle DuckDB oracles are unaffected."""
+    from dedupe_trees_spark.functions.minhash import shingle_set_udf
+    from dedupe_trees_spark.functions.text import token_hashes
 
     return load(spark, sf_dir, "documents").select(
-        "doc_id", shingle_hashes("text", k=k).alias("shingles")
+        "doc_id", shingle_set_udf(k)(token_hashes("text")).alias("shingles")
     )
+
+
+NGRAM_DF_CAP = 64
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (J ≥ 0.8), relational plan:
-    shared-shingle inverted index → intersection counts → Jaccard."""
+    shared-shingle inverted index → intersection counts → Jaccard.
+
+    Stop-shingle guard: shingles appearing in more than NGRAM_DF_CAP
+    documents are dropped from the index — and from the set sizes — on
+    BOTH engine and oracle sides, so the semantics stay a well-defined
+    (filtered-space) Jaccard. A shingle shared by m docs emits m² join
+    rows; uncapped, one boilerplate phrase across 10^6 pages is 10^12
+    rows from a single key. Fixture max DF is 25 (sf0.1), so results are
+    unchanged at test scale."""
     sets = _doc_shingle_sets(spark, sf_dir)
-    exploded = sets.select("doc_id", F.explode("shingles").alias("g"))
-    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
+    all_grams = sets.select("doc_id", F.explode("shingles").alias("g"))
+    rare = (
+        all_grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+        .filter(F.col("gram_df") <= NGRAM_DF_CAP)
+        .select("g")
+    )
+    exploded = all_grams.join(rare, "g")
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -399,8 +426,37 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Capped variant: same pipeline over the DF-filtered shingle space
+# (mirrors NGRAM_DF_CAP on the engine side).
+_JACCARD_CAPPED_CTES = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+  grams0 AS (
+    SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+    FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i FROM toks)
+    UNION
+    SELECT doc_id, array_to_string(arr, ' ') AS g FROM toks WHERE len(arr) < 3
+  ),
+  grams AS (
+    SELECT doc_id, g FROM grams0 QUALIFY count(*) OVER (PARTITION BY g) <= 64
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jpairs AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8
+  )
+"""
+
 SQL_NGRAM_JACCARD_PAIRS = f"""
-WITH {_JACCARD_SQL_CTES}
+WITH {_JACCARD_CAPPED_CTES}
 SELECT doc_a, doc_b, jaccard FROM jpairs
 """
 
@@ -424,7 +480,10 @@ def q_minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MINHASH_LSH_DUP_PAIRS = SQL_NGRAM_JACCARD_PAIRS
+SQL_MINHASH_LSH_DUP_PAIRS = f"""
+WITH {_JACCARD_SQL_CTES}
+SELECT doc_a, doc_b, jaccard FROM jpairs
+"""
 
 
 def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,13 +586,14 @@ def q_dedup_canonical_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedupe_trees_spark.operators.lsh import add_signature, minhash_lsh_pairs
     from dedupe_trees_spark.operators.resolve import resolve
 
-    from dedupe_trees_spark.functions.text import shingle_hashes
+    from dedupe_trees_spark.functions.minhash import shingle_set_udf
+    from dedupe_trees_spark.functions.text import token_hashes
 
     pages = documents_as_pages(spark, sf_dir)
     sets = pages.select(
         "url", "doc_id", "source_order",
         F.xxhash64("text").alias("content_hash"),
-        shingle_hashes("text", k=3).alias("shingles"),
+        shingle_set_udf(3)(token_hashes("text")).alias("shingles"),
     )
     exact = exact_edges(sets, id_col="url", hash_col="content_hash")
     sigs = add_signature(sets, num_perm=128, seed=42)
