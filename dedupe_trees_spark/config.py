@@ -45,6 +45,9 @@ class PipelineConfig:
     # execution
     resume: bool = True
     keep_html: bool = False   # drop the binary column after ingest (column pruning)
+    # verify the url -> xxhash64 node-id mapping is injective after S1
+    # (one countDistinct pass; disable only if the corpus was pre-audited)
+    audit_ids: bool = True
 
 
 def from_args(argv: list[str] | None = None) -> PipelineConfig:

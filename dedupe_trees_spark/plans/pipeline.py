@@ -1,12 +1,23 @@
 """The end-to-end dedup pipeline (SURVEY.md §3.2 lifecycle):
 
-    S1 signatures:  pages → (url, meta, content_hash, shingles, minhash,
-                             simhash, substr_fp)          [checkpoint]
-    S2 bands:       signatures → (url, band_id, band_hash) [checkpoint]
+    S1 signatures:  pages → (url, nid, meta, content_hash, shingles,
+                             minhash, simhash, substr_fp)  [checkpoint]
+    S2 bands:       signatures → (nid, band_id, band_hash) [checkpoint]
     S3 pairs:       exact ∪ minhash ∪ simhash ∪ substr edges, verified
                                                            [checkpoint]
     S4 components:  connected components over pairs        [checkpoint]
     S5 canonical:   resolver window → canonical + removals [checkpoint]
+
+Node identity: every stage after S1 keys documents by ``nid =
+xxhash64(url)`` (8 bytes) instead of the url string (~60–80 bytes for
+web urls) — bands, candidate pairs, verification, and every
+connected-components iteration shuffle longs, cutting shuffle bytes on
+the id columns by ~8–10×. S1 audits the mapping (distinct urls ==
+distinct nids) and aborts on a collision; at 10^12 docs the 64-bit
+birthday bound makes collisions likely, so that scale should switch the
+id to struct(xxhash64(url), xxhash64(url, seed2)) — the audit is the
+guard rail either way. Urls are joined back only at S5 for resolution
+and sinks.
 
 Every stage reads its dependencies from the previous stage's parquet
 checkpoint, never from an in-memory plan — that is what makes resume
@@ -54,6 +65,7 @@ class DedupePipeline:
                 "source_order",
                 F.regexp_extract("source", r"(\d+)$", 1).cast("int"),
             )
+        df = df.withColumn("nid", F.xxhash64("url"))
         df = df.withColumn("norm", normalize_text("text")).drop("text")
         df = df.withColumn("content_hash", content_hash("norm")).withColumn(
             "n_chars", F.length("norm")
@@ -90,7 +102,7 @@ class DedupePipeline:
         cfg = self.cfg
         sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
         return explode_bands(
-            sigs, sig_col="minhash", id_col="url", bands=cfg.bands, rows=cfg.rows_per_band
+            sigs, sig_col="minhash", id_col="nid", bands=cfg.bands, rows=cfg.rows_per_band
         )
 
     def _build_pairs(self) -> DataFrame:
@@ -111,7 +123,7 @@ class DedupePipeline:
             bands = read_stage(self.spark, cfg.ckpt_dir, "bands")
             cand_frames.append(
                 candidate_pairs(
-                    bands, id_col="url", cap=cfg.bucket_cap,
+                    bands, id_col="nid", cap=cfg.bucket_cap,
                     scratch_path=f"{scratch}/minhash_tagged",
                 )
                 .withColumn("kind", F.lit("minhash"))
@@ -121,8 +133,8 @@ class DedupePipeline:
 
             cand_frames.append(
                 simhash_pairs(
-                    sigs.select("url", "simhash"),
-                    id_col="url",
+                    sigs.select("nid", "simhash"),
+                    id_col="nid",
                     max_hamming=cfg.simhash_max_hamming,
                     cap=cfg.bucket_cap,
                     scratch_path=f"{scratch}/simhash_tagged",
@@ -131,7 +143,9 @@ class DedupePipeline:
                 .withColumn("kind", F.lit("simhash"))
             )
 
-        edge_frames = [exact_edges(sigs, id_col="url", hash_col="content_hash")]
+        # url_a/url_b column names are the pair-plumbing convention; from
+        # here on they carry int64 nids, not url strings
+        edge_frames = [exact_edges(sigs, id_col="nid", hash_col="content_hash")]
         if cand_frames:
             cands = cand_frames[0]
             for c in cand_frames[1:]:
@@ -150,13 +164,13 @@ class DedupePipeline:
 
                 cands.write.mode("overwrite").parquet(f"{scratch}/cands")
                 cands = self.spark.read.parquet(f"{scratch}/cands")
-                cand_urls = (
-                    cands.select(F.col("url_a").alias("url"))
-                    .unionByName(cands.select(F.col("url_b").alias("url")))
-                    .dropDuplicates(["url"])
+                cand_nids = (
+                    cands.select(F.col("url_a").alias("nid"))
+                    .unionByName(cands.select(F.col("url_b").alias("nid")))
+                    .dropDuplicates(["nid"])
                 )
-                sets = sigs.join(cand_urls, "url", "left_semi").select(
-                    "url",
+                sets = sigs.join(cand_nids, "nid", "left_semi").select(
+                    "nid",
                     shingle_set_udf(cfg.shingle_k)(token_hashes("norm")).alias(
                         "shingles"
                     ),
@@ -165,7 +179,7 @@ class DedupePipeline:
                 sets = self.spark.read.parquet(f"{scratch}/sets")
             edge_frames.append(
                 verify_pairs(
-                    cands, sets, cfg.jaccard_threshold, id_col="url",
+                    cands, sets, cfg.jaccard_threshold, id_col="nid",
                     shingle_col="shingles", kind=None,
                 )
             )
@@ -173,7 +187,7 @@ class DedupePipeline:
             from dedupe_trees_spark.operators.substring import _pairs_from_gram_sets
 
             sub = _pairs_from_gram_sets(
-                sigs.select("url", "substr_fp"), F.col("substr_fp"), "url",
+                sigs.select("nid", "substr_fp"), F.col("substr_fp"), "nid",
                 cfg.bucket_cap, scratch_path=f"{scratch}/substr_tagged",
             ).select(
                 "url_a", "url_b", F.lit("substr").alias("kind"), F.lit(1.0).alias("score")
@@ -201,7 +215,7 @@ class DedupePipeline:
         sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
         pairs = read_stage(self.spark, cfg.ckpt_dir, "pairs")
         return assign_components(
-            sigs.select("url"), pairs, id_col="url",
+            sigs.select("nid"), pairs, id_col="nid",
             ckpt_dir=f"{cfg.ckpt_dir}/_cc_work",
         )
 
@@ -211,13 +225,26 @@ class DedupePipeline:
         comps = read_stage(self.spark, cfg.ckpt_dir, "components")
         meta_cols = [c for c in ["url", "warc_ts", "lang", "source", "source_order", "n_chars"] if c in sigs.columns]
         resolved = R.resolve(
-            sigs.select(*meta_cols).join(comps, "url"),
+            sigs.select("nid", *meta_cols).join(comps, "nid"),
             list(cfg.resolvers),
         )
         return resolved.select(
             "component_id", "url", *[c for c in meta_cols if c != "url"],
             "rank", "is_canonical",
         )
+
+    def _audit_ids(self) -> None:
+        """Abort if xxhash64(url) collided (see module docstring)."""
+        sigs = read_stage(self.spark, self.cfg.ckpt_dir, "signatures")
+        row = sigs.agg(
+            F.countDistinct("url").alias("u"), F.countDistinct("nid").alias("n")
+        ).collect()[0]
+        if row["u"] != row["n"]:
+            raise RuntimeError(
+                f"nid collision: {row['u']} distinct urls -> {row['n']} distinct "
+                "nids; switch the node id to a 128-bit struct of two xxhash64 "
+                "seeds for this corpus size"
+            )
 
     # ------------------------------------------------------------------- run
 
@@ -242,6 +269,8 @@ class DedupePipeline:
             t0 = time.time()
             df = builders[stage]()
             write_stage(df, self.cfg.ckpt_dir, stage)
+            if stage == "signatures" and self.cfg.audit_ids:
+                self._audit_ids()
             wall_ms = (time.time() - t0) * 1000
             report[stage] = record_stage(self.spark, self.cfg.ckpt_dir, stage, wall_ms)
         return report
