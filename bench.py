@@ -61,8 +61,10 @@ def main() -> int:
         "dedup_canonical_full",
         "minhash_lsh_dup_pairs",
         "substring_dup_pairs",
+        "substring_extent_pairs",
         "simhash_dup_pairs",
         "ngram_jaccard_pairs",
+        "mod_date_resolution",
         "pricing_summary",
         "sessionize_events",
         "cosine_topk",

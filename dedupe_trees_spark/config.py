@@ -32,6 +32,12 @@ class PipelineConfig:
     substring_w: int = 49
     # skew handling
     bucket_cap: int = 256
+    # checkpoint the exploded band table as its own stage. Default off:
+    # bands are ONE narrow map over the signatures checkpoint (explode of
+    # band hashes), so a resume re-derives them in seconds, while the
+    # checkpoint costs a full write+read of 32 rows/doc every run
+    # (~260 MB + ~13 s per 1M docs)
+    checkpoint_bands: bool = False
     # storage/bandwidth: the corpus-wide shingle-set column is the largest
     # intermediate (≈2× the text bytes). False = keep normalized text in
     # the signatures checkpoint instead and re-derive shingle sets at

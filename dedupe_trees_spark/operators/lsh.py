@@ -47,9 +47,13 @@ def _default_scratch(spark) -> str | None:
 
         return f"{conf_dir}/scratch_{uuid.uuid4().hex}"
     if spark.sparkContext.master.startswith("local"):
+        import atexit
+        import shutil
         import tempfile
 
-        return tempfile.mkdtemp(prefix="dedupe_scratch_") + "/t"
+        d = tempfile.mkdtemp(prefix="dedupe_scratch_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        return d + "/t"
     return None
 
 

@@ -2,7 +2,11 @@
 
     S1 signatures:  pages → (url, nid, meta, content_hash, shingles,
                              minhash, simhash, substr_fp)  [checkpoint]
-    S2 bands:       signatures → (nid, band_id, band_hash) [checkpoint]
+    S2 bands:       signatures → (nid, band_id, band_hash)
+                    [checkpoint only with cfg.checkpoint_bands — bands
+                    are one narrow map over S1, so by default they are
+                    derived inline by S3 instead of paying a full
+                    write+read of 32 rows/doc]
     S3 pairs:       exact ∪ minhash ∪ simhash ∪ substr edges, verified
                                                            [checkpoint]
     S4 components:  connected components over pairs        [checkpoint]
@@ -120,7 +124,10 @@ class DedupePipeline:
         scratch = f"{cfg.ckpt_dir}/_scratch"
         cand_frames = []
         if cfg.enable_minhash:
-            bands = read_stage(self.spark, cfg.ckpt_dir, "bands")
+            if cfg.checkpoint_bands:
+                bands = read_stage(self.spark, cfg.ckpt_dir, "bands")
+            else:
+                bands = self._build_bands()
             cand_frames.append(
                 candidate_pairs(
                     bands, id_col="nid", cap=cfg.bucket_cap,
@@ -260,7 +267,10 @@ class DedupePipeline:
             "components": self._build_components,
             "canonical": self._build_canonical,
         }
-        enabled = [s for s in STAGES if s != "bands" or self.cfg.enable_minhash]
+        enabled = [
+            s for s in STAGES
+            if s != "bands" or (self.cfg.enable_minhash and self.cfg.checkpoint_bands)
+        ]
         report = {}
         for stage in enabled:
             if self.cfg.resume and stage_done(self.cfg.ckpt_dir, stage):
@@ -273,6 +283,7 @@ class DedupePipeline:
                 self._audit_ids()
             wall_ms = (time.time() - t0) * 1000
             report[stage] = record_stage(self.spark, self.cfg.ckpt_dir, stage, wall_ms)
+            report[stage]["record_ms"] = round((time.time() - t0) * 1000 - wall_ms, 1)
         return report
 
     # ------------------------------------------------------------- accessors

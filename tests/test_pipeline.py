@@ -28,10 +28,12 @@ def pipeline_run(spark, tmp_path_factory):
 
 def test_all_stages_ran_and_checkpointed(pipeline_run):
     spark, gcfg, cfg, pipe, report, inp, ckpt = pipeline_run
-    for stage in ["signatures", "bands", "pairs", "components", "canonical"]:
+    for stage in ["signatures", "pairs", "components", "canonical"]:
         assert stage_done(ckpt, stage), stage
         assert not report[stage].get("skipped")
         assert report[stage]["rows_out"] > 0
+    # bands are derived inline by default (checkpoint_bands=False)
+    assert "bands" not in report and not stage_done(ckpt, "bands")
 
 
 def test_exact_clusters_fully_merged(pipeline_run):
@@ -105,7 +107,7 @@ def test_lineage_and_metrics_written(pipeline_run):
     lineage = spark.read.parquet(f"{ckpt}/_lineage")
     metrics = spark.read.parquet(f"{ckpt}/_metrics")
     stages = {r["stage"] for r in metrics.select("stage").distinct().collect()}
-    assert {"signatures", "bands", "pairs", "components", "canonical"} <= stages
+    assert {"signatures", "pairs", "components", "canonical"} <= stages
     # lineage: per-file row counts sum to stage totals
     sig_rows = (
         lineage.filter("stage = 'signatures'").agg(F.sum("rows")).collect()[0][0]
@@ -125,7 +127,6 @@ def test_resume_skips_done_stages_and_is_identical(pipeline_run):
     pipe2 = DedupePipeline(spark, cfg)
     report2 = pipe2.run()
     assert report2["signatures"].get("skipped")
-    assert report2["bands"].get("skipped")
     assert not report2["pairs"].get("skipped")
     after = sorted(
         (r["url"], r["component_id"], r["is_canonical"])
@@ -141,6 +142,22 @@ def test_deduped_pages_sink(pipeline_run):
     n_kept = pipe.deduped_pages().count()
     assert n_kept == n_in - n_removed
     assert n_removed > 0
+
+
+def test_checkpoint_bands_flag_restores_band_stage(spark, tmp_path):
+    """checkpoint_bands=True materializes + resumes the band table."""
+    inp = str(tmp_path / "pages")
+    generate_pages(spark, GenConfig(n_docs=300, seed=13), partitions=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    cfg = PipelineConfig(
+        input_path=inp, ckpt_dir=str(tmp_path / "ckpt"),
+        bucket_cap=64, checkpoint_bands=True,
+    )
+    report = DedupePipeline(spark, cfg).run()
+    assert stage_done(cfg.ckpt_dir, "bands") and report["bands"]["rows_out"] > 0
+    report2 = DedupePipeline(spark, cfg).run()
+    assert report2["bands"].get("skipped")
 
 
 def test_no_cached_rdds_leak_from_pipeline_run(spark, tmp_path):

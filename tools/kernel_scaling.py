@@ -32,16 +32,23 @@ def run_at(master: str, cores: int, n_docs: int) -> dict:
     from dedupe_trees_spark.operators.lsh import explode_bands, minhash_lsh_pairs
     from dedupe_trees_spark.session import get_spark
 
-    spark = get_spark(f"kernel{cores}", master=master, shuffle_partitions=2 * cores)
+    spark = get_spark(
+        f"kernel{cores}", master=master, shuffle_partitions=2 * cores,
+        # keep the band-table spill on tmpfs so K2 stays a no-disk kernel
+        extra_conf={"spark.dedupe_trees.scratch": "/dev/shm/kernel_scratch"},
+    )
     pages = generate_pages(spark, GenConfig(n_docs=n_docs, seed=42), partitions=4 * cores)
-    pages = pages.select("url", normalize_text("text").alias("norm")).persist()
+    # int64 node ids, matching the shipped pipeline (S1 nid = xxhash64(url))
+    pages = pages.select(
+        F.xxhash64("url").alias("nid"), normalize_text("text").alias("norm")
+    ).persist()
     pages.count()  # materialize input in memory
 
     sig = signature_struct_udf(3, 128, 42, True, 48, 49)
     sig_df = pages.select(
-        "url", sig(token_hashes("norm"), F.col("norm")).alias("s")
+        "nid", sig(token_hashes("norm"), F.col("norm")).alias("s")
     ).select(
-        "url",
+        "nid",
         F.col("s.shingles").alias("shingles"),
         F.col("s.minhash").alias("minhash"),
     )
@@ -56,7 +63,7 @@ def run_at(master: str, cores: int, n_docs: int) -> dict:
 
     sigs = sig_df.persist()
     sigs.count()
-    pairs = minhash_lsh_pairs(sigs, bands=32, rows=4, cap=256, threshold=0.8)
+    pairs = minhash_lsh_pairs(sigs, id_col="nid", bands=32, rows=4, cap=256, threshold=0.8)
     noop(pairs)  # warmup
     t0 = time.time()
     noop(pairs)
