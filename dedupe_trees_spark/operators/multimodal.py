@@ -57,6 +57,88 @@ def decode_batch(pdf: pd.DataFrame, binary_col: str, real_decoder: bool = False)
     )
 
 
+FRAME_SCHEMA = "url string, frame_idx int, frame_len int, frame_crc long"
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "html",
+    frame_size: int = 1024,
+    every: int = 4,
+) -> DataFrame:
+    """Frame-sampling pattern for video-like binaries: one output row per
+    sampled fixed-size frame (indices 0, every, 2·every, …).
+
+    This is the 1-row→N-rows mapInPandas shape a real video pipeline
+    uses (decode container → sample keyframes → per-frame features);
+    the "frame" here is a deterministic byte slice since no codec ships
+    in this container, but the schema, Arrow batching, and fan-out are
+    the real thing. Only (url, binary) are selected, so column pruning
+    keeps the binary out of every other stage.
+    """
+    src = df.select("url", binary_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            url_o, idx_o, len_o, crc_o = [], [], [], []
+            for url, payload in zip(pdf["url"], pdf[binary_col]):
+                n = len(payload)
+                n_frames = (n + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every):
+                    chunk = payload[i * frame_size : (i + 1) * frame_size]
+                    url_o.append(url)
+                    idx_o.append(i)
+                    len_o.append(len(chunk))
+                    crc_o.append(zlib.crc32(chunk))
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(url_o, dtype=object),
+                    "frame_idx": pd.Series(idx_o, dtype="int32"),
+                    "frame_len": pd.Series(len_o, dtype="int32"),
+                    "frame_crc": pd.Series(crc_o, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = "url string, resized binary, resized_len int"
+
+
+def resize_media(
+    df: DataFrame,
+    binary_col: str = "html",
+    target_len: int = 256,
+    real_decoder: bool = False,
+) -> DataFrame:
+    """Resize/downsample pattern: binary → smaller binary of ~target_len
+    bytes. Real image resize needs a codec (raises, like decode_batch);
+    the stub stride-samples the bytes deterministically so the
+    batch shape, binary-in/binary-out schema, and size contract are
+    exercised end-to-end."""
+    src = df.select("url", binary_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decoder:
+                raise NotImplementedError(
+                    "real media resize requires image libs not present in "
+                    "this container; wire a decoder here (same batch shape)"
+                )
+            resized = pdf[binary_col].map(
+                lambda b: bytes(b[:: max(len(b) // target_len, 1)][:target_len])
+            )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "resized": resized,
+                    "resized_len": resized.map(len).astype("int32"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def extract_media_meta(
     df: DataFrame, binary_col: str = "html", real_decoder: bool = False
 ) -> DataFrame:

@@ -864,6 +864,40 @@ FROM documents
 """
 
 
+def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (video-pipeline pattern): binaries split into
+    256-byte frames, every 2nd frame sampled via mapInPandas (1 row → N
+    rows), aggregated per doc. The oracle re-derives frame counts and
+    sampled byte totals arithmetically from the payload length."""
+    from dedupe_trees_spark.operators.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "utf-8",
+        ).alias("payload"),
+    )
+    frames = sample_frames(d, binary_col="payload", frame_size=256, every=2)
+    return frames.groupBy(F.col("url").cast("bigint").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_len").alias("sampled_bytes"),
+    )
+
+
+SQL_MEDIA_FRAME_STATS = """
+WITH p AS (SELECT doc_id, octet_length(encode(text)) + 26 AS len FROM documents),
+f AS (
+  SELECT doc_id, len,
+         unnest(generate_series(0, CAST(ceil(len / 256.0) AS INT) - 1, 2)) AS i
+  FROM p
+)
+SELECT doc_id, count(*) AS n_frames,
+       CAST(sum(least(256, len - i * 256)) AS BIGINT) AS sampled_bytes
+FROM f GROUP BY doc_id
+"""
+
+
 QUERIES.update(
     {
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -879,6 +913,7 @@ QUERIES.update(
         "embedding_label_stats": q_embedding_label_stats,
         "sessionize_events": q_sessionize_events,
         "multimodal_meta": q_multimodal_meta,
+        "media_frame_stats": q_media_frame_stats,
     }
 )
 
@@ -897,6 +932,7 @@ ORACLES.update(
         "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "media_frame_stats": SQL_MEDIA_FRAME_STATS,
     }
 )
 

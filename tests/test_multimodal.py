@@ -39,3 +39,35 @@ def test_real_decoder_is_stubbed(spark):
             "payload",
             real_decoder=True,
         )
+
+
+def test_sample_frames_fanout_and_determinism(spark):
+    import zlib
+
+    from dedupe_trees_spark.operators.multimodal import sample_frames
+
+    payload = bytes(range(256)) * 5  # 1280 bytes → frames of 256: 5 frames
+    df = spark.createDataFrame([("u1", payload)], "url string, payload binary")
+    rows = {r["frame_idx"]: r for r in sample_frames(
+        df, binary_col="payload", frame_size=256, every=2
+    ).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    assert all(rows[i]["frame_len"] == 256 for i in rows)
+    assert rows[0]["frame_crc"] == zlib.crc32(payload[:256])
+
+
+def test_resize_media_bounds_and_stub_guard(spark):
+    import pytest
+
+    from dedupe_trees_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [("a", b"x" * 10_000), ("b", b"y" * 50)], "url string, payload binary"
+    )
+    out = {r["url"]: r for r in resize_media(
+        df, binary_col="payload", target_len=256
+    ).collect()}
+    assert out["a"]["resized_len"] <= 256
+    assert out["b"]["resized_len"] == 50  # already smaller than target
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        resize_media(df, binary_col="payload", real_decoder=True).collect()

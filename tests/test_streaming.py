@@ -77,3 +77,60 @@ def test_windowed_event_counts_matches_batch_oracle(spark, tmp_path):
         assert want.count() > 0
     finally:
         q.stop()
+
+
+def test_source_dup_rate_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState: per-source dup counters accumulate ACROSS
+    micro-batches (state carries), duplicates within and across batches
+    are counted, distinct sources keep independent state."""
+    from dedupe_trees_spark.streaming.stateful import source_dup_rate_stream
+
+    inp = tmp_path / "stateful_in"
+    inp.mkdir()
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string, "
+        "source string, source_order int"
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    # batch 1: src0 has an in-batch dup; src1 unique
+    write_batch("b1", [
+        ("u1", TS, b"", "aaa", "en", "src0", 0),
+        ("u2", TS, b"", "aaa", "en", "src0", 0),
+        ("u3", TS, b"", "bbb", "en", "src1", 1),
+    ])
+
+    # state_ttl=None → NoTimeout: processing-time timeout wake-ups would
+    # keep scheduling micro-batches and processAllAvailable never settles
+    stream = source_dup_rate_stream(spark, str(inp) + "/*", max_hashes=100, state_ttl=None)
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dup_rate_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: src0 replays "aaa" (cross-batch dup) + one new doc
+        write_batch("b2", [
+            ("u4", TS, b"", "aaa", "en", "src0", 0),
+            ("u5", TS, b"", "ccc", "en", "src0", 0),
+        ])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM dup_rate_out ORDER BY total_docs"
+        ).collect()
+    finally:
+        q.stop()
+    by_src = {}
+    for r in rows:  # last update per source wins (ordered by total_docs)
+        by_src[r["source"]] = r
+    assert by_src["src1"]["total_docs"] == 1 and by_src["src1"]["total_dups"] == 0
+    s0 = by_src["src0"]
+    assert s0["total_docs"] == 4          # u1,u2 + u4,u5
+    assert s0["total_dups"] == 2          # u2 (in-batch) + u4 (cross-batch)
+    assert s0["batch_docs"] == 2 and s0["batch_dups"] == 1
