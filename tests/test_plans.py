@@ -1,0 +1,58 @@
+"""Plan-shape regression tests: the physical plans the 100-TB story
+depends on — predicate pushdown into the parquet scan, column pruning,
+broadcast of small sides, map-side partial aggregation, whole-stage
+codegen — asserted against .explain() output so a regression (e.g. a
+cast that blocks pushdown, a lambda that widens the scan) fails CI
+instead of quietly 10×ing a scan at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+import dedupe_trees_spark.queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # finalize AQE so the asserted plan is the real one
+    return df._jdf.queryExecution().toString()
+
+
+def test_pricing_summary_pushdown_partial_agg_codegen(spark):
+    plan = _executed_plan(Q.QUERIES["pricing_summary"](spark, SF_DIR))
+    assert "LessThanOrEqual(l_shipdate" in plan          # filter reached the scan
+    assert "partial_sum" in plan                         # map-side combine
+    assert "*(1)" in plan                                # whole-stage codegen spans
+    # column pruning: the html-free lineitem scan reads only needed cols
+    read_schema = next(l for l in plan.split("\n") if "ReadSchema" in l)
+    assert "l_comment" not in read_schema
+
+
+def test_top_sources_column_pruning(spark):
+    plan = _executed_plan(Q.QUERIES["top_sources"](spark, SF_DIR))
+    read_schema = next(l for l in plan.split("\n") if "ReadSchema" in l)
+    assert "source:string" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema                     # widest column not read
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = _executed_plan(Q.QUERIES["cosine_topk"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_signature_stage_never_scans_html(spark, tmp_path):
+    from dedupe_trees_spark.config import PipelineConfig
+    from dedupe_trees_spark.datagen import GenConfig, generate_pages
+    from dedupe_trees_spark.plans.pipeline import DedupePipeline
+
+    inp = str(tmp_path / "pages")
+    generate_pages(spark, GenConfig(n_docs=100, seed=3), partitions=2).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    pipe = DedupePipeline(
+        spark, PipelineConfig(input_path=inp, ckpt_dir=str(tmp_path / "ckpt"))
+    )
+    plan = pipe._build_signatures()._jdf.queryExecution().toString()
+    read_schema = next(l for l in plan.split("\n") if "ReadSchema" in l)
+    assert "html" not in read_schema                     # binary column pruned at scan
