@@ -48,6 +48,20 @@ def main() -> int:
         generate_pages(spark, gcfg).write.mode("overwrite").parquet(pages_path)
 
     # ---- headline: full pipeline, cold checkpoints ----------------------
+    # JVM/codegen + python-UDF-pool warmup on a tiny input first (same
+    # protocol as BENCH/BASELINE.md scaling runs): first evaluation in a
+    # fresh JVM measures JIT spin-up, not the engine
+    warm_ckpt = f"/tmp/spark_graft_bench/ckpt_warm_{int(time.time()*1000)}"
+    warm_pages = "/tmp/spark_graft_bench/pages_warm_2000"
+    if not os.path.exists(os.path.join(warm_pages, "_SUCCESS")):
+        generate_pages(spark, GenConfig(n_docs=2_000, seed=7)).write.mode(
+            "overwrite"
+        ).parquet(warm_pages)
+    DedupePipeline(
+        spark, PipelineConfig(input_path=warm_pages, ckpt_dir=warm_ckpt)
+    ).run()
+    shutil.rmtree(warm_ckpt, ignore_errors=True)
+
     ckpt = f"/tmp/spark_graft_bench/ckpt_{n_docs}_{int(time.time()*1000)}"
     cfg = PipelineConfig(input_path=pages_path, ckpt_dir=ckpt, bucket_cap=256)
     t0 = time.time()
