@@ -85,11 +85,12 @@ def ensure_pages_table(
     url_buckets: int = 512,
 ) -> str:
     """Create the pages table if its catalog is configured; returns the
-    DDL either way so callers can log/apply it out of band.
+    applied DDL on success.
 
     Raises RuntimeError when the catalog is absent (e.g. this sandbox) —
-    the caller should fall back to parquet paths, which ``read_pages``
-    handles transparently.
+    the DDL is embedded in the exception message so it can still be
+    logged/applied out of band; the caller should fall back to parquet
+    paths, which ``read_pages`` handles transparently.
     """
     ddl = pages_table_ddl(table, url_buckets=url_buckets)
     catalog = table.split(".", 1)[0]

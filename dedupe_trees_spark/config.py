@@ -54,6 +54,14 @@ class PipelineConfig:
     # verify the url -> xxhash64 node-id mapping is injective after S1
     # (one countDistinct pass; disable only if the corpus was pre-audited)
     audit_ids: bool = True
+    # node-id width. 64 = nid is xxhash64(url) (8-byte shuffles — right up
+    # to ~10^9 docs). 128 = nid is a struct of two independently seeded
+    # xxhash64s: at the 10^12-doc design point the 64-bit birthday bound
+    # makes collisions near-certain, while 128 bits keeps the expected
+    # collision count ~0.003. Structs are totally ordered in Spark, so
+    # every downstream min/least/groupBy/join works unchanged; shuffles
+    # carry 16 id bytes instead of 8.
+    nid_bits: int = 64
 
 
 def from_args(argv: list[str] | None = None) -> PipelineConfig:
@@ -69,6 +77,7 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
     p.add_argument("--no-simhash", action="store_false", dest="enable_simhash")
     p.add_argument("--no-substring", action="store_false", dest="enable_substring")
     p.add_argument("--bucket-cap", type=int, default=256)
+    p.add_argument("--nid-bits", type=int, default=64, choices=[64, 128], dest="nid_bits")
     p.add_argument(
         "--resolve",
         default="source_order,path_depth,copy_pattern,mod_date,arbitrary",

@@ -36,3 +36,15 @@ def write_stage(df: DataFrame, ckpt_dir: str, stage: str) -> None:
 
 def read_stage(spark: SparkSession, ckpt_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(stage_path(ckpt_dir, stage))
+
+
+def remove_dir(spark: SparkSession, path: str) -> None:
+    """Recursively delete a directory through the Hadoop FileSystem API —
+    works for any checkpoint filesystem (local, HDFS, S3A), unlike
+    shutil. Used to drop per-run scratch intermediates once the stage
+    that consumed them has committed."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)

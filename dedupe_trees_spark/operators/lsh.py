@@ -45,7 +45,18 @@ def _default_scratch(spark) -> str | None:
     if conf_dir:
         import uuid
 
-        return f"{conf_dir}/scratch_{uuid.uuid4().hex}"
+        d = f"{conf_dir}/scratch_{uuid.uuid4().hex}"
+        if "://" not in conf_dir:
+            # driver-visible filesystem (local mode / shared mount): clean
+            # up at interpreter exit so repeated calls (e.g. a scaling
+            # sweep pointing the conf at /dev/shm) don't accumulate band
+            # tables in RAM-backed tmpfs. Remote URIs (s3://, hdfs://)
+            # are left to the cluster's scratch-retention policy.
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+        return d
     if spark.sparkContext.master.startswith("local"):
         import atexit
         import shutil
@@ -94,98 +105,103 @@ def candidate_pairs(
     Returns columns (url_a, url_b) with url_a < url_b. Pairs surviving
     here are *candidates* — callers must verify before trusting them.
 
-    If ``bands_df`` carries a ``src`` column (bucket provenance —
-    'minhash' / 'simhash' / 'substr'), buckets from SEVERAL candidate
-    generators can share this ONE pass (one count shuffle, one
-    self-join) and the output gains ``srcs: array<string>`` per pair.
+    If ``bands_df`` carries an integer ``src`` column (bucket-provenance
+    bit flag — the pipeline uses 1=minhash, 2=simhash, 4=substr with
+    namespaced ``band_id`` ranges so buckets from different generators
+    never merge), buckets from SEVERAL candidate generators share this
+    ONE pass and the output gains ``srcs: int`` — the bit-OR of every
+    proposing generator's flag. bit_or is a fixed-width, partially
+    aggregatable agg; an earlier collect_set(string) variant forced the
+    job's largest shuffle to carry array buffers.
 
-    Materialization: ``tagged`` feeds two self-joins + the rep
-    aggregations (5 references); without materialization every reference
-    re-evaluates the upstream explode + count shuffle — measured 4×
-    slowdown on the pairs stage. It is spilled to parquet scratch and
-    re-read (``scratch_path``, or an auto local-mode temp dir / the
-    ``spark.dedupe_trees.scratch`` conf via _default_scratch) — no
-    executor memory is pinned and nothing stays cached after the job;
-    measured ~1.6× faster than the persist+localCheckpoint alternative
-    at sf0.1. Only when no scratch location exists (cluster mode, no
-    conf) does it fall back to persist + eager localCheckpoint, with
-    ``tagged`` unpersisted before returning.
+    Plan shape — the pairs stage dominates full-job scaling, so its
+    exchange count over the (huge) bucket table is engineered:
+
+    1. ONE window pass computes per-bucket size and min-id — a single
+       exchange on (band_id, band_hash) + sort — and spills to parquet
+       scratch (``scratch_path``, or _default_scratch) so the three
+       consumers below re-read instead of recomputing the explode.
+       (The previous shape paid a groupBy-count + join-back here: two
+       extra full-table exchanges.)
+    2. Cold buckets (≤ cap): groupBy + collect_list + position-pair
+       explode — one exchange, bounded at ``cap`` ids per aggregation
+       buffer. Replaces a sort-merge self-join that exchanged and
+       sorted the cold table twice; pair-set output is identical
+       (all i<j positions of distinct ids per bucket).
+    3. Hot buckets (> cap): a template cluster of m pages would emit
+       m(m−1)/2 pairs — 5·10^11 from one 10^6-member bucket. A salted
+       spanning STAR per bucket (member → salt-group rep → bucket min)
+       keeps connected components seeing one component at ~m edges.
+       The bucket rep is the pass-1 min-id, so only the salt-group
+       window remains — over the (tiny) hot subset only. Star edges are
+       still exact-verified downstream, so a bucket mixing dissimilar
+       docs loses only edges that other, colder buckets re-derive.
+    4. One final groupBy dedups pairs across all buckets and (when
+       fused) all generators.
     """
     has_src = "src" in bands_df.columns
-    src_a = [F.col("a.src").alias("src")] if has_src else []
-    counts = bands_df.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_n")
-    )
-    tagged = bands_df.join(counts, ["band_id", "band_hash"])
+    spark = bands_df.sparkSession
+    src_cols = ["src"] if has_src else []
+    w_bucket = Window.partitionBy("band_id", "band_hash")
+    tagged = bands_df.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(w_bucket)
+    ).withColumn("bucket_min", F.min(id_col).over(w_bucket))
     if scratch_path is None:
-        scratch_path = _default_scratch(bands_df.sparkSession)
+        scratch_path = _default_scratch(spark)
     if scratch_path is not None:
         tagged.write.mode("overwrite").parquet(scratch_path)
-        tagged = bands_df.sparkSession.read.parquet(scratch_path)
+        tagged = spark.read.parquet(scratch_path)
     else:
         tagged = tagged.persist()
 
-    cold = tagged.filter(F.col("bucket_n") <= cap).select(
-        "band_id", "band_hash", id_col, *(["src"] if has_src else [])
+    cold = tagged.filter(F.col("bucket_n") <= cap)
+    grouped = cold.groupBy("band_id", "band_hash").agg(
+        F.collect_list(id_col).alias("_ids"),
+        *([F.first("src").alias("src")] if has_src else []),
     )
-    a, b = cold.alias("a"), cold.alias("b")
-    cold_pairs = a.join(
-        b,
-        (F.col(f"a.band_id") == F.col("b.band_id"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("url_a"),
-        F.col(f"b.{id_col}").alias("url_b"),
-        *src_a,
+    # all position pairs i<j (ids are distinct within a bucket: each doc
+    # contributes one row per band_id, and band_hash is a function of it)
+    cold_pairs = (
+        grouped.select(*src_cols, "_ids", F.posexplode("_ids").alias("_i", "_x"))
+        .select(
+            *src_cols,
+            "_x",
+            F.explode(
+                F.slice("_ids", F.col("_i") + F.lit(2), F.size("_ids"))
+            ).alias("_y"),
+        )
+        .select(
+            F.least("_x", "_y").alias("url_a"),
+            F.greatest("_x", "_y").alias("url_b"),
+            *src_cols,
+        )
     )
 
-    # Hot buckets (> cap): a template cluster of m pages would emit
-    # m(m−1)/2 pairs — 1.2·10^7 for m=5000, 5·10^11 for m=10^6. Since the
-    # pair graph only feeds connected components, a spanning STAR per
-    # bucket gives identical cluster membership at m edges instead:
-    #   member → salt-group rep → bucket rep
-    # (salted so no single task holds the whole bucket). Every star edge
-    # is still exact-verified downstream, so a bucket mixing dissimilar
-    # docs loses only edges that other, colder buckets re-derive.
-    hot = tagged.filter(F.col("bucket_n") > cap)
-    hot = hot.withColumn(
+    hot = tagged.filter(F.col("bucket_n") > cap).withColumn(
         "salt",
         F.pmod(F.xxhash64(id_col), F.ceil(F.col("bucket_n") / cap).cast("long")),
     )
-    salt_rep = F.min(id_col).over(Window.partitionBy("band_id", "band_hash", "salt"))
-    hot_src = [F.col("src")] if has_src else []
-    hot_star = (
-        hot.withColumn("_rep", salt_rep)
-        .filter(F.col(id_col) != F.col("_rep"))
-        .select(
-            F.least(id_col, "_rep").alias("url_a"),
-            F.greatest(id_col, "_rep").alias("url_b"),
-            *hot_src,
-        )
+    hot = hot.withColumn(
+        "_rep", F.min(id_col).over(Window.partitionBy("band_id", "band_hash", "salt"))
     )
-    reps = hot.groupBy("band_id", "band_hash", "salt").agg(
-        F.min(id_col).alias("salt_rep"),
-        *([F.first("src").alias("src")] if has_src else []),
+    hot_star = hot.filter(F.col(id_col) != F.col("_rep")).select(
+        F.least(id_col, "_rep").alias("url_a"),
+        F.greatest(id_col, "_rep").alias("url_b"),
+        *src_cols,
     )
-    bucket_rep = reps.groupBy("band_id", "band_hash").agg(
-        F.min("salt_rep").alias("bucket_rep")
-    )
-    chain = (
-        reps.join(bucket_rep, ["band_id", "band_hash"])
-        .filter(F.col("salt_rep") != F.col("bucket_rep"))
-        .select(
-            F.least("salt_rep", "bucket_rep").alias("url_a"),
-            F.greatest("salt_rep", "bucket_rep").alias("url_b"),
-            *hot_src,
-        )
+    # exactly one row per salt group has id == salt rep; chaining it to
+    # the bucket min keeps the whole bucket one component
+    chain = hot.filter(
+        (F.col(id_col) == F.col("_rep")) & (F.col("_rep") != F.col("bucket_min"))
+    ).select(
+        F.least("_rep", "bucket_min").alias("url_a"),
+        F.greatest("_rep", "bucket_min").alias("url_b"),
+        *src_cols,
     )
 
     out = cold_pairs.unionByName(hot_star).unionByName(chain)
     if has_src:
-        out = out.groupBy("url_a", "url_b").agg(
-            F.array_sort(F.collect_set("src")).alias("srcs")
-        )
+        out = out.groupBy("url_a", "url_b").agg(F.bit_or("src").alias("srcs"))
     else:
         out = out.dropDuplicates(["url_a", "url_b"])
     if scratch_path is None:

@@ -79,23 +79,38 @@ def sample_frames(
     src = df.select("url", binary_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # frame fan-out is pure index arithmetic, so it is vectorized:
+        # per-doc sampled-frame counts → np.repeat doc index → per-frame
+        # offsets/lengths in one pass. Only the per-frame crc32 itself
+        # (a C call over a byte slice) remains a loop — there is no
+        # batched crc32 API.
         for pdf in batches:
-            url_o, idx_o, len_o, crc_o = [], [], [], []
-            for url, payload in zip(pdf["url"], pdf[binary_col]):
-                n = len(payload)
-                n_frames = (n + frame_size - 1) // frame_size
-                for i in range(0, n_frames, every):
-                    chunk = payload[i * frame_size : (i + 1) * frame_size]
-                    url_o.append(url)
-                    idx_o.append(i)
-                    len_o.append(len(chunk))
-                    crc_o.append(zlib.crc32(chunk))
+            n_docs = len(pdf)
+            payloads = pdf[binary_col].to_numpy(dtype=object)
+            urls = pdf["url"].to_numpy(dtype=object)
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=n_docs
+            )
+            n_frames = (lens + frame_size - 1) // frame_size
+            n_samp = (n_frames + every - 1) // every
+            total = int(n_samp.sum())
+            doc_of = np.repeat(np.arange(n_docs), n_samp)
+            starts = np.zeros(n_docs, dtype=np.int64)
+            if n_docs > 1:
+                np.cumsum(n_samp[:-1], out=starts[1:])
+            frame_idx = (np.arange(total, dtype=np.int64) - starts[doc_of]) * every
+            off = frame_idx * frame_size
+            frame_len = np.minimum(frame_size, lens[doc_of] - off)
+            crcs = np.empty(total, dtype=np.int64)
+            for t in range(total):
+                o = int(off[t])
+                crcs[t] = zlib.crc32(payloads[doc_of[t]][o : o + frame_size])
             yield pd.DataFrame(
                 {
-                    "url": pd.Series(url_o, dtype=object),
-                    "frame_idx": pd.Series(idx_o, dtype="int32"),
-                    "frame_len": pd.Series(len_o, dtype="int32"),
-                    "frame_crc": pd.Series(crc_o, dtype="int64"),
+                    "url": pd.Series(urls[doc_of], dtype=object),
+                    "frame_idx": pd.Series(frame_idx.astype("int32")),
+                    "frame_len": pd.Series(frame_len.astype("int32")),
+                    "frame_crc": pd.Series(crcs),
                 }
             )
 

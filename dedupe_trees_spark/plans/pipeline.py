@@ -12,14 +12,16 @@
     S4 components:  connected components over pairs        [checkpoint]
     S5 canonical:   resolver window → canonical + removals [checkpoint]
 
-Node identity: every stage after S1 keys documents by ``nid =
-xxhash64(url)`` (8 bytes) instead of the url string (~60–80 bytes for
-web urls) — bands, candidate pairs, verification, and every
-connected-components iteration shuffle longs, cutting shuffle bytes on
-the id columns by ~8–10×. S1 audits the mapping (distinct urls ==
-distinct nids) and aborts on a collision; at 10^12 docs the 64-bit
-birthday bound makes collisions likely, so that scale should switch the
-id to struct(xxhash64(url), xxhash64(url, seed2)) — the audit is the
+Node identity: every stage after S1 keys documents by ``nid`` instead
+of the url string (~60–80 bytes for web urls) — bands, candidate pairs,
+verification, and every connected-components iteration shuffle compact
+ids, cutting shuffle bytes on the id columns by ~4–10×. The width is
+configurable (``nid_bits``): 64 = one xxhash64 long, the default up to
+~10^9 docs; 128 = struct of two independently seeded xxhash64s for the
+10^12-doc design point, where the 64-bit birthday bound makes
+collisions near-certain (expected collisions at 10^12 docs: ~27k for 64
+bits vs ~3·10^-3 for 128). S1 audits injectivity (url → nid) and aborts
+on a collision with advice to rerun at nid_bits=128 — the audit is the
 guard rail either way. Urls are joined back only at S5 for resolution
 and sinks.
 
@@ -40,14 +42,41 @@ from pyspark.sql import functions as F
 from dedupe_trees_spark.config import PipelineConfig
 from dedupe_trees_spark.functions.minhash import signature_struct_udf
 from dedupe_trees_spark.functions.text import content_hash, normalize_text, token_hashes
-from dedupe_trees_spark.io import read_pages, read_stage, stage_done, write_stage
+from dedupe_trees_spark.io import (
+    read_pages,
+    read_stage,
+    remove_dir,
+    stage_done,
+    write_stage,
+)
 from dedupe_trees_spark.operators import resolve as R
 from dedupe_trees_spark.operators.components import assign_components
 from dedupe_trees_spark.operators.exact import exact_edges
-from dedupe_trees_spark.operators.lsh import candidate_pairs, explode_bands, verify_pairs
+from dedupe_trees_spark.operators.lsh import candidate_pairs, explode_bands, jaccard_expr
 from dedupe_trees_spark.plans.lineage import record_stage
 
 STAGES = ["signatures", "bands", "pairs", "components", "canonical"]
+
+
+def _nid64(col: str):
+    """The 64-bit node-id hash. Module-level so tests can monkeypatch it
+    to a deliberately colliding hash (e.g. pmod(xxhash64, 4)) and prove
+    the 128-bit path survives 64-bit collisions end-to-end."""
+    return F.xxhash64(col)
+
+
+def node_id_expr(nid_bits: int):
+    """url → node id. 64 = one xxhash64 long; 128 = struct of two
+    independently seeded xxhash64s (struct ordering is total in Spark, so
+    bands/pairs/CC min-label/resolve work on it unchanged)."""
+    if nid_bits == 64:
+        return _nid64("url")
+    if nid_bits != 128:
+        raise ValueError(f"nid_bits must be 64 or 128, got {nid_bits}")
+    return F.struct(
+        _nid64("url").alias("hi"),
+        F.xxhash64(F.lit("nid-seed-2"), F.col("url")).alias("lo"),
+    )
 
 
 class DedupePipeline:
@@ -58,8 +87,10 @@ class DedupePipeline:
     # ---------------------------------------------------------------- stages
 
     def _build_signatures(self) -> DataFrame:
+        from dedupe_trees_spark.sources.pages import read_pages_any
+
         cfg = self.cfg
-        pages = read_pages(self.spark, cfg.input_path)
+        pages = read_pages_any(self.spark, cfg.input_path)
         cols = ["url", "warc_ts", "text", "lang", "source", "source_order"]
         have = set(pages.columns)
         sel = [c for c in cols if c in have]
@@ -69,7 +100,7 @@ class DedupePipeline:
                 "source_order",
                 F.regexp_extract("source", r"(\d+)$", 1).cast("int"),
             )
-        df = df.withColumn("nid", F.xxhash64("url"))
+        df = df.withColumn("nid", node_id_expr(cfg.nid_bits))
         df = df.withColumn("norm", normalize_text("text")).drop("text")
         df = df.withColumn("content_hash", content_hash("norm")).withColumn(
             "n_chars", F.length("norm")
@@ -109,97 +140,164 @@ class DedupePipeline:
             sigs, sig_col="minhash", id_col="nid", bands=cfg.bands, rows=cfg.rows_per_band
         )
 
+    # bucket-provenance bit flags (candidate_pairs bit_or's them per pair)
+    SRC_MINHASH, SRC_SIMHASH, SRC_SUBSTR = 1, 2, 4
+
     def _build_pairs(self) -> DataFrame:
         cfg = self.cfg
         sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
 
-        # candidate pairs from MinHash bands and SimHash chunks (the
-        # latter Hamming-prefiltered — 16-bit chunk buckets over-generate
-        # ~30 random collisions per doc) share ONE exact-Jaccard
-        # verification join: the shingle-set join is this stage's dominant
-        # cost, so it runs once over the deduped candidate union.
-        # (A fully-merged single bucket table for all three generators was
-        # tried and measured SLOWER: per-pair provenance forces a
-        # collect_set aggregate over the largest shuffle of the job.)
+        # FUSED candidate generation: all three generators' buckets go
+        # through ONE candidate_pairs pass — one bucket-count window, one
+        # cold-bucket aggregation, one dedup — instead of three separate
+        # passes (round-2 shape: ~3× the full-table exchanges; its kernel
+        # decomposition blamed exactly that fixed per-exchange latency,
+        # BENCH/BASELINE.md K2). band_id namespaces keep the generators'
+        # buckets disjoint: minhash [0, bands), simhash tables
+        # [bands, bands+10), substr fingerprints at bands+10. Per-pair
+        # provenance is a bit-OR int (SRC_* flags), so the dedup stays a
+        # fixed-width partial agg.
         scratch = f"{cfg.ckpt_dir}/_scratch"
-        cand_frames = []
+        bucket_frames = []
         if cfg.enable_minhash:
             if cfg.checkpoint_bands:
                 bands = read_stage(self.spark, cfg.ckpt_dir, "bands")
             else:
                 bands = self._build_bands()
-            cand_frames.append(
-                candidate_pairs(
-                    bands, id_col="nid", cap=cfg.bucket_cap,
-                    scratch_path=f"{scratch}/minhash_tagged",
+            bucket_frames.append(
+                bands.select(
+                    "nid", "band_id", "band_hash",
+                    F.lit(self.SRC_MINHASH).alias("src"),
                 )
-                .withColumn("kind", F.lit("minhash"))
             )
         if cfg.enable_simhash:
-            from dedupe_trees_spark.operators.simhash_join import simhash_pairs
+            from dedupe_trees_spark.operators.simhash_join import explode_block_keys
 
-            cand_frames.append(
-                simhash_pairs(
-                    sigs.select("nid", "simhash"),
-                    id_col="nid",
-                    max_hamming=cfg.simhash_max_hamming,
-                    cap=cfg.bucket_cap,
-                    scratch_path=f"{scratch}/simhash_tagged",
+            keys = explode_block_keys(
+                sigs.select("nid", "simhash"),
+                sim_col="simhash", id_col="nid",
+                max_hamming=cfg.simhash_max_hamming,
+            )
+            bucket_frames.append(
+                keys.select(
+                    "nid",
+                    (F.col("band_id") + F.lit(cfg.bands)).alias("band_id"),
+                    "band_hash",
+                    F.lit(self.SRC_SIMHASH).alias("src"),
                 )
-                .select("url_a", "url_b")
-                .withColumn("kind", F.lit("simhash"))
+            )
+        if cfg.enable_substring:
+            bucket_frames.append(
+                sigs.select(
+                    "nid",
+                    F.lit(cfg.bands + 10).alias("band_id"),
+                    F.explode(F.array_distinct("substr_fp")).alias("band_hash"),
+                    F.lit(self.SRC_SUBSTR).alias("src"),
+                )
             )
 
         # url_a/url_b column names are the pair-plumbing convention; from
         # here on they carry int64 nids, not url strings
         edge_frames = [exact_edges(sigs, id_col="nid", hash_col="content_hash")]
-        if cand_frames:
-            cands = cand_frames[0]
-            for c in cand_frames[1:]:
-                cands = cands.unionByName(c)
-            cands = cands.groupBy("url_a", "url_b").agg(F.min("kind").alias("kind"))
-            if "shingles" in sigs.columns:
-                sets = sigs
-            else:
-                # shingle sets were not stored (store_shingles=False):
-                # re-derive them for candidate-involved docs only — a
-                # left-semi join keeps this proportional to candidate
-                # volume, not corpus size. Both intermediates spill to
-                # parquet scratch (multiple consumers; nothing cached).
-                from dedupe_trees_spark.functions.minhash import shingle_set_udf
-                from dedupe_trees_spark.functions.text import token_hashes
-
-                cands.write.mode("overwrite").parquet(f"{scratch}/cands")
-                cands = self.spark.read.parquet(f"{scratch}/cands")
-                cand_nids = (
-                    cands.select(F.col("url_a").alias("nid"))
-                    .unionByName(cands.select(F.col("url_b").alias("nid")))
-                    .dropDuplicates(["nid"])
-                )
-                sets = sigs.join(cand_nids, "nid", "left_semi").select(
-                    "nid",
-                    shingle_set_udf(cfg.shingle_k)(token_hashes("norm")).alias(
-                        "shingles"
-                    ),
-                )
-                sets.write.mode("overwrite").parquet(f"{scratch}/sets")
-                sets = self.spark.read.parquet(f"{scratch}/sets")
-            edge_frames.append(
-                verify_pairs(
-                    cands, sets, cfg.jaccard_threshold, id_col="nid",
-                    shingle_col="shingles", kind=None,
-                )
+        if bucket_frames:
+            fused = bucket_frames[0]
+            for bfr in bucket_frames[1:]:
+                fused = fused.unionByName(bfr)
+            cands = candidate_pairs(
+                fused, id_col="nid", cap=cfg.bucket_cap,
+                scratch_path=f"{scratch}/buckets_tagged",
             )
-        if cfg.enable_substring:
-            from dedupe_trees_spark.operators.substring import _pairs_from_gram_sets
+            # cands feeds the verify branch and the substr branch — spill
+            # to parquet scratch so neither re-runs candidate generation
+            cands.write.mode("overwrite").parquet(f"{scratch}/cands")
+            cands = self.spark.read.parquet(f"{scratch}/cands")
 
-            sub = _pairs_from_gram_sets(
-                sigs.select("nid", "substr_fp"), F.col("substr_fp"), "nid",
-                cfg.bucket_cap, scratch_path=f"{scratch}/substr_tagged",
-            ).select(
-                "url_a", "url_b", F.lit("substr").alias("kind"), F.lit(1.0).alias("score")
-            )
-            edge_frames.append(sub)
+            need_verify = cfg.enable_minhash or cfg.enable_simhash
+            if need_verify:
+                ver = cands.filter(
+                    F.col("srcs").bitwiseAND(
+                        F.lit(self.SRC_MINHASH | self.SRC_SIMHASH)
+                    ) != 0
+                )
+                sim_cols = ["simhash"] if cfg.enable_simhash else []
+                if "shingles" in sigs.columns:
+                    sets = sigs.select("nid", "shingles", *sim_cols)
+                else:
+                    # shingle sets were not stored (store_shingles=False):
+                    # re-derive them for candidate-involved docs only — a
+                    # left-semi join keeps this proportional to candidate
+                    # volume, not corpus size. Spilled to parquet scratch
+                    # (two join consumers; nothing cached).
+                    from dedupe_trees_spark.functions.minhash import shingle_set_udf
+                    from dedupe_trees_spark.functions.text import token_hashes
+
+                    cand_nids = (
+                        ver.select(F.col("url_a").alias("nid"))
+                        .unionByName(ver.select(F.col("url_b").alias("nid")))
+                        .dropDuplicates(["nid"])
+                    )
+                    sets = sigs.join(cand_nids, "nid", "left_semi").select(
+                        "nid",
+                        shingle_set_udf(cfg.shingle_k)(token_hashes("norm")).alias(
+                            "shingles"
+                        ),
+                        *sim_cols,
+                    )
+                    sets.write.mode("overwrite").parquet(f"{scratch}/sets")
+                    sets = self.spark.read.parquet(f"{scratch}/sets")
+                # ONE shared verification join computes exact Jaccard and
+                # (when simhash buckets are on) exact Hamming in the same
+                # pass: minhash-proposed pairs need J ≥ t; simhash-only
+                # pairs additionally need Hamming ≤ max — identical
+                # semantics to verifying the generators separately, at
+                # two joins instead of four.
+                a_side = sets.select(
+                    F.col("nid").alias("url_a"),
+                    F.col("shingles").alias("_set_a"),
+                    *[F.col(c).alias("_sim_a") for c in sim_cols],
+                )
+                b_side = sets.select(
+                    F.col("nid").alias("url_b"),
+                    F.col("shingles").alias("_set_b"),
+                    *[F.col(c).alias("_sim_b") for c in sim_cols],
+                )
+                scored = (
+                    ver.join(a_side, "url_a")
+                    .join(b_side, "url_b")
+                    .withColumn(
+                        "score", jaccard_expr(F.col("_set_a"), F.col("_set_b"))
+                    )
+                )
+                is_minhash = F.col("srcs").bitwiseAND(F.lit(self.SRC_MINHASH)) != 0
+                cond = F.col("score") >= cfg.jaccard_threshold
+                if cfg.enable_simhash:
+                    from dedupe_trees_spark.functions.simhash import hamming_dist
+
+                    ham_ok = (
+                        hamming_dist(F.col("_sim_a"), F.col("_sim_b"))
+                        <= cfg.simhash_max_hamming
+                    )
+                    cond = cond & (is_minhash | ham_ok)
+                kind = (
+                    F.when(is_minhash, F.lit("minhash")).otherwise(F.lit("simhash"))
+                    if cfg.enable_simhash
+                    else F.lit("minhash")
+                )
+                edge_frames.append(
+                    scored.filter(cond).select(
+                        "url_a", "url_b", kind.alias("kind"), "score"
+                    )
+                )
+            if cfg.enable_substring:
+                edge_frames.append(
+                    cands.filter(
+                        F.col("srcs").bitwiseAND(F.lit(self.SRC_SUBSTR)) != 0
+                    ).select(
+                        "url_a", "url_b",
+                        F.lit("substr").alias("kind"),
+                        F.lit(1.0).alias("score"),
+                    )
+                )
         pairs = edge_frames[0]
         for e in edge_frames[1:]:
             pairs = pairs.unionByName(e)
@@ -241,16 +339,25 @@ class DedupePipeline:
         )
 
     def _audit_ids(self) -> None:
-        """Abort if xxhash64(url) collided (see module docstring)."""
+        """Abort if the url → nid mapping is not injective.
+
+        Single-shuffle formulation: groupBy(nid) + countDistinct(url) is
+        one exchange with map-side partial aggregation, where the earlier
+        two-countDistinct agg paid an Expand (2× the rows) plus a
+        shuffle — the audit is a guard rail on EVERY run, so its cost
+        matters. take(1) stops at the first collision found."""
         sigs = read_stage(self.spark, self.cfg.ckpt_dir, "signatures")
-        row = sigs.agg(
-            F.countDistinct("url").alias("u"), F.countDistinct("nid").alias("n")
-        ).collect()[0]
-        if row["u"] != row["n"]:
+        hit = (
+            sigs.groupBy("nid")
+            .agg(F.countDistinct("url").alias("u"))
+            .filter(F.col("u") > 1)
+            .take(1)
+        )
+        if hit:
             raise RuntimeError(
-                f"nid collision: {row['u']} distinct urls -> {row['n']} distinct "
-                "nids; switch the node id to a 128-bit struct of two xxhash64 "
-                "seeds for this corpus size"
+                "nid collision detected (two urls share one node id); rerun "
+                "with nid_bits=128 (struct of two seeded xxhash64s) for this "
+                "corpus size"
             )
 
     # ------------------------------------------------------------------- run
@@ -272,19 +379,63 @@ class DedupePipeline:
             if s != "bands" or (self.cfg.enable_minhash and self.cfg.checkpoint_bands)
         ]
         report = {}
+        base_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
         for stage in enabled:
             if self.cfg.resume and stage_done(self.cfg.ckpt_dir, stage):
                 report[stage] = {"stage": stage, "skipped": True}
                 continue
+            if stage == "pairs":
+                self._tune_shuffle_for_pairs(base_parts)
             t0 = time.time()
             df = builders[stage]()
             write_stage(df, self.cfg.ckpt_dir, stage)
+            if stage == "pairs":
+                self.spark.conf.set("spark.sql.shuffle.partitions", base_parts)
             if stage == "signatures" and self.cfg.audit_ids:
                 self._audit_ids()
             wall_ms = (time.time() - t0) * 1000
             report[stage] = record_stage(self.spark, self.cfg.ckpt_dir, stage, wall_ms)
             report[stage]["record_ms"] = round((time.time() - t0) * 1000 - wall_ms, 1)
+            # scratch intermediates are only needed by the stage that
+            # just committed — drop them so checkpoint dirs don't
+            # accumulate multi-GB band/CC tables
+            if stage == "pairs":
+                remove_dir(self.spark, f"{self.cfg.ckpt_dir}/_scratch")
+            elif stage == "components":
+                remove_dir(self.spark, f"{self.cfg.ckpt_dir}/_cc_work")
         return report
+
+    def _tune_shuffle_for_pairs(self, base_parts: str) -> None:
+        """Scale shuffle parallelism to the pairs stage's data volume.
+
+        The bucket table is the job's largest shuffled relation (~bands +
+        10 simhash tables + ~50–100 winnow fingerprints per doc). A
+        global 2×cores partition count leaves multi-GB partitions at
+        large corpus sizes; here partitions grow with the estimated
+        bucket-row count (~8M rows ≈ 200–400 MB per partition target),
+        never below the configured base, capped at 4096. AQE's
+        coalescePartitions then shrinks small exchanges back at runtime,
+        so over-provisioning costs only map-side bucket files.
+        """
+        cfg = self.cfg
+        try:
+            from dedupe_trees_spark.plans.lineage import _file_rows
+
+            n_docs = sum(
+                n for _, n in _file_rows(f"{cfg.ckpt_dir}/signatures")
+            )
+        except Exception:
+            return
+        if not n_docs:
+            return
+        rows_per_doc = (
+            (cfg.bands if cfg.enable_minhash else 0)
+            + (10 if cfg.enable_simhash else 0)
+            + (80 if cfg.enable_substring else 0)
+        )
+        est_rows = n_docs * max(rows_per_doc, 1)
+        parts = min(max(int(base_parts), est_rows // 8_000_000), 4096)
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
     # ------------------------------------------------------------- accessors
 

@@ -556,8 +556,17 @@ FROM chains GROUP BY doc_a, doc_b
 
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 candidate pairs, Jaccard-verified at 0.8.
-    (No SQL twin — simhash is not SQL-expressible; driver records a
-    rows-only check. Correctness is covered by pytest unit/recall tests.)
+    (No SQL equality twin — simhash is not SQL-expressible; driver
+    records a rows-only check. Correctness is covered by pytest
+    unit/recall tests plus a CONTAINMENT oracle:
+    tests/test_diff_harness.py asserts every emitted pair is in the
+    brute-force J≥0.8 set with the identical Jaccard value.)
+
+    Row-count drift adjudication (12 rows in round 1 → 9 in round 2):
+    round 1 emitted Hamming-verified candidates only; round 2 added the
+    exact-Jaccard ≥ 0.8 filter, dropping 3 Hamming-close-but-J<0.8
+    pairs — a precision improvement, now pinned by the containment test
+    so any future drift fails CI instead of passing unadjudicated.
     """
     from dedupe_trees_spark.operators.lsh import verify_pairs
     from dedupe_trees_spark.operators.simhash_join import add_simhash, simhash_pairs

@@ -148,8 +148,20 @@ def source_dup_rate_stream(
     )
 
 
+_DURATION_FACTORS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
 def _duration_ms(s: str) -> int:
     n, unit = s.split()
-    factor = {"second": 1000, "seconds": 1000, "minute": 60_000, "minutes": 60_000,
-              "hour": 3_600_000, "hours": 3_600_000}[unit]
-    return int(n) * factor
+    if unit not in _DURATION_FACTORS:
+        raise ValueError(
+            f"unsupported duration unit {unit!r} in {s!r}; supported: "
+            + ", ".join(sorted(set(_DURATION_FACTORS)))
+        )
+    return int(n) * _DURATION_FACTORS[unit]

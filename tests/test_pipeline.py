@@ -175,6 +175,153 @@ def test_no_cached_rdds_leak_from_pipeline_run(spark, tmp_path):
     assert after - before == set(), f"pipeline leaked cached RDDs: {after - before}"
 
 
+def test_scratch_intermediates_cleaned(pipeline_run):
+    """Per-run scratch (band tables, CC iterations) must not outlive the
+    stage that consumed it — checkpoint dirs otherwise accumulate
+    multi-GB intermediates across runs."""
+    import os
+
+    spark, gcfg, cfg, pipe, report, inp, ckpt = pipeline_run
+    assert not os.path.exists(f"{ckpt}/_scratch")
+    assert not os.path.exists(f"{ckpt}/_cc_work")
+
+
+def test_fused_pairs_match_per_generator_union(pipeline_run):
+    """The fused single-pass candidate generation (one bucket table, src
+    bit flags, shared verify join) must emit EXACTLY the edges the three
+    standalone generators + exact edges produce when run separately and
+    deduped by evidence priority — the round-2 pipeline's shape."""
+    spark, gcfg, cfg, pipe, report, inp, ckpt = pipeline_run
+    from dedupe_trees_spark.io import read_stage
+    from dedupe_trees_spark.operators.exact import exact_edges
+    from dedupe_trees_spark.operators.lsh import (
+        candidate_pairs,
+        explode_bands,
+        verify_pairs,
+    )
+    from dedupe_trees_spark.operators.simhash_join import simhash_pairs
+    from dedupe_trees_spark.operators.substring import _pairs_from_gram_sets
+
+    sigs = read_stage(spark, ckpt, "signatures")
+    frames = [exact_edges(sigs, id_col="nid", hash_col="content_hash")]
+    bands = explode_bands(
+        sigs, sig_col="minhash", id_col="nid", bands=cfg.bands, rows=cfg.rows_per_band
+    )
+    mh = candidate_pairs(bands, id_col="nid", cap=cfg.bucket_cap).withColumn(
+        "kind", F.lit("minhash")
+    )
+    sh = (
+        simhash_pairs(
+            sigs.select("nid", "simhash"), id_col="nid",
+            max_hamming=cfg.simhash_max_hamming, cap=cfg.bucket_cap,
+        )
+        .select("url_a", "url_b")
+        .withColumn("kind", F.lit("simhash"))
+    )
+    cands = mh.unionByName(sh).groupBy("url_a", "url_b").agg(F.min("kind").alias("kind"))
+    frames.append(
+        verify_pairs(
+            cands, sigs, cfg.jaccard_threshold,
+            id_col="nid", shingle_col="shingles", kind=None,
+        )
+    )
+    frames.append(
+        _pairs_from_gram_sets(
+            sigs.select("nid", "substr_fp"), F.col("substr_fp"), "nid", cfg.bucket_cap
+        ).select(
+            "url_a", "url_b", F.lit("substr").alias("kind"), F.lit(1.0).alias("score")
+        )
+    )
+    expected = frames[0]
+    for e in frames[1:]:
+        expected = expected.unionByName(e)
+    pri = (
+        F.when(F.col("kind") == "exact", 0)
+        .when(F.col("kind") == "minhash", 1)
+        .when(F.col("kind") == "simhash", 2)
+        .otherwise(3)
+    )
+    expected = (
+        expected.groupBy("url_a", "url_b")
+        .agg(F.min_by(F.struct("kind", "score"), pri).alias("_best"))
+        .select("url_a", "url_b", F.col("_best.kind").alias("kind"))
+    )
+    exp = sorted(map(tuple, expected.collect()))
+    got = sorted(
+        map(tuple, read_stage(spark, ckpt, "pairs").select("url_a", "url_b", "kind").collect())
+    )
+    assert got == exp
+
+
+def test_jsonl_input_end_to_end(spark, tmp_path, capsys):
+    """--input x.jsonl reaches the jsonl reader through the CLI."""
+    import base64
+    import json as _json
+
+    import run_dedupe
+
+    path = tmp_path / "pages.jsonl"
+    rows = []
+    for i in range(40):
+        body = f"doc {i % 10} text " * 12   # 4× exact dups per body
+        rows.append(
+            {
+                "url": f"https://s{i}.example/p{i}.html",
+                "warc_ts": "2025-01-01T00:00:00Z",
+                "html": base64.b64encode(f"<html>{body}</html>".encode()).decode(),
+                "text": body,
+                "lang": "en",
+                "source": f"src{i % 3}",
+                "source_order": i % 3,
+            }
+        )
+    path.write_text("\n".join(_json.dumps(r) for r in rows))
+    rc = run_dedupe.main(
+        ["--input", str(path), "--ckpt", str(tmp_path / "ckpt"), "--bucket-cap", "64"]
+    )
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs"] == 40
+    assert summary["removed"] >= 30   # 10 distinct bodies → ≥30 removals
+
+
+def test_nid128_survives_forced_64bit_collisions(spark, tmp_path, monkeypatch):
+    """Degrade the 64-bit node hash to 8 buckets (collisions guaranteed
+    at 400 docs): the 64-bit path must ABORT at the S1 audit, while
+    nid_bits=128 (second independent seed in the struct) must run
+    end-to-end and produce the same kept set as an honest 64-bit run."""
+    import dedupe_trees_spark.plans.pipeline as P
+
+    inp = str(tmp_path / "pages")
+    generate_pages(spark, GenConfig(n_docs=400, seed=21), partitions=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+
+    # honest baseline (bucket_cap high enough that all buckets stay cold,
+    # making the pair set independent of nid ordering)
+    cfg = PipelineConfig(input_path=inp, ckpt_dir=str(tmp_path / "c64"))
+    DedupePipeline(spark, cfg).run()
+    baseline = sorted(
+        (r["url"], r["is_canonical"])
+        for r in DedupePipeline(spark, cfg).canonical().collect()
+    )
+
+    monkeypatch.setattr(P, "_nid64", lambda col: F.pmod(F.xxhash64(col), F.lit(8)))
+    cfg64 = PipelineConfig(input_path=inp, ckpt_dir=str(tmp_path / "c64broken"))
+    with pytest.raises(RuntimeError, match="nid collision"):
+        DedupePipeline(spark, cfg64).run()
+
+    cfg128 = PipelineConfig(
+        input_path=inp, ckpt_dir=str(tmp_path / "c128"), nid_bits=128
+    )
+    DedupePipeline(spark, cfg128).run()
+    got = sorted(
+        (r["url"], r["is_canonical"])
+        for r in DedupePipeline(spark, cfg128).canonical().collect()
+    )
+    assert got == baseline
+
+
 def test_config_from_args():
     cfg = from_args(
         [

@@ -71,6 +71,12 @@ def run_at(master: str, cores: int, n_docs: int) -> dict:
 
     out = {"cores": cores, "k1_sig_sec": round(k1, 2), "k2_pairs_sec": round(k2, 2)}
     spark.stop()
+    # _default_scratch registers atexit cleanup, but a multi-point sweep
+    # in one process would still hold every run's band table in tmpfs
+    # until exit — drop this run's scratch now
+    import shutil
+
+    shutil.rmtree("/dev/shm/kernel_scratch", ignore_errors=True)
     return out
 
 
