@@ -38,6 +38,13 @@ def main() -> int:
     from dedupe_trees_spark.session import get_spark
     import dedupe_trees_spark.queries as Q
 
+    # shuffle/spill on tmpfs when available, matching the scaling-run
+    # protocol (BENCH/BASELINE.md): the sandbox's single virtual disk
+    # adds ±2× run-to-run noise that measures the disk, not the engine
+    if "SPARK_GRAFT_LOCAL_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark_local", exist_ok=True)
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark_local"
+
     spark = get_spark("bench")
     timings: dict[str, float] = {}
 

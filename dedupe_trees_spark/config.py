@@ -79,6 +79,12 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
     p.add_argument("--bucket-cap", type=int, default=256)
     p.add_argument("--nid-bits", type=int, default=64, choices=[64, 128], dest="nid_bits")
     p.add_argument(
+        "--no-store-shingles", action="store_false", dest="store_shingles",
+        help="keep normalized text instead of the corpus-wide shingle-set "
+        "column; shingle sets are re-derived at verify time for "
+        "candidate-involved docs only (the 10^12-doc trade)",
+    )
+    p.add_argument(
         "--resolve",
         default="source_order,path_depth,copy_pattern,mod_date,arbitrary",
         help="comma-separated resolver chain, applied in order",

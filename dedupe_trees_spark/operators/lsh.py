@@ -32,42 +32,6 @@ from pyspark.sql import functions as F
 from dedupe_trees_spark.functions.minhash import band_hash_array, minhash_udf
 
 
-def _default_scratch(spark) -> str | None:
-    """Scratch root for spilled intermediates when the caller gives none.
-
-    Order: explicit ``spark.dedupe_trees.scratch`` conf (set this to a
-    shared filesystem on real clusters) → a driver-local temp dir when
-    running in local mode (driver FS == executor FS there) → None, which
-    falls back to localCheckpoint (cluster-correct, but pins executor
-    storage until the RDD is GC'd).
-    """
-    conf_dir = spark.conf.get("spark.dedupe_trees.scratch", None)
-    if conf_dir:
-        import uuid
-
-        d = f"{conf_dir}/scratch_{uuid.uuid4().hex}"
-        if "://" not in conf_dir:
-            # driver-visible filesystem (local mode / shared mount): clean
-            # up at interpreter exit so repeated calls (e.g. a scaling
-            # sweep pointing the conf at /dev/shm) don't accumulate band
-            # tables in RAM-backed tmpfs. Remote URIs (s3://, hdfs://)
-            # are left to the cluster's scratch-retention policy.
-            import atexit
-            import shutil
-
-            atexit.register(shutil.rmtree, d, ignore_errors=True)
-        return d
-    if spark.sparkContext.master.startswith("local"):
-        import atexit
-        import shutil
-        import tempfile
-
-        d = tempfile.mkdtemp(prefix="dedupe_scratch_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        return d + "/t"
-    return None
-
-
 def add_signature(
     df: DataFrame,
     shingle_col: str = "shingles",
@@ -94,11 +58,16 @@ def explode_bands(
     )
 
 
+def _pair_struct(x, y):
+    """Undirected pair as an ordered struct (works for long AND 128-bit
+    struct node ids — struct ordering is total in Spark)."""
+    return F.struct(F.least(x, y).alias("a"), F.greatest(x, y).alias("b"))
+
+
 def candidate_pairs(
     bands_df: DataFrame,
     id_col: str = "url",
     cap: int = 256,
-    scratch_path: str | None = None,
 ) -> DataFrame:
     """Bucket-join candidates with hot-bucket salting; distinct (a,b) pairs.
 
@@ -114,102 +83,104 @@ def candidate_pairs(
     aggregatable agg; an earlier collect_set(string) variant forced the
     job's largest shuffle to carry array buffers.
 
-    Plan shape — the pairs stage dominates full-job scaling, so its
-    exchange count over the (huge) bucket table is engineered:
+    Plan shape — the pairs stage dominates full-job scaling, so the
+    whole candidate pass is ONE linear plan with exactly ONE exchange
+    over the (huge) bucket table:
 
-    1. ONE window pass computes per-bucket size and min-id — a single
-       exchange on (band_id, band_hash) + sort — and spills to parquet
-       scratch (``scratch_path``, or _default_scratch) so the three
-       consumers below re-read instead of recomputing the explode.
-       (The previous shape paid a groupBy-count + join-back here: two
-       extra full-table exchanges.)
-    2. Cold buckets (≤ cap): groupBy + collect_list + position-pair
-       explode — one exchange, bounded at ``cap`` ids per aggregation
-       buffer. Replaces a sort-merge self-join that exchanged and
-       sorted the cold table twice; pair-set output is identical
-       (all i<j positions of distinct ids per bucket).
-    3. Hot buckets (> cap): a template cluster of m pages would emit
-       m(m−1)/2 pairs — 5·10^11 from one 10^6-member bucket. A salted
-       spanning STAR per bucket (member → salt-group rep → bucket min)
-       keeps connected components seeing one component at ~m edges.
-       The bucket rep is the pass-1 min-id, so only the salt-group
-       window remains — over the (tiny) hot subset only. Star edges are
-       still exact-verified downstream, so a bucket mixing dissimilar
-       docs loses only edges that other, colder buckets re-derive.
+    1. ONE window exchange on (band_id, band_hash) computes per-bucket
+       size and min-id. Singleton buckets — the vast majority, since
+       most band hashes are unique — are dropped immediately after
+       (they can emit no pair), so everything downstream sees only
+       dup-involved bucket rows.
+    2. The per-bucket aggregation groupBy's (band_id, band_hash, salt)
+       DIRECTLY on the window output: the group keys are a superset of
+       the window's partition keys, so Catalyst inserts NO second
+       exchange (hash(band_id, band_hash) already clusters every salt
+       group). salt is 0 for cold buckets (≤ cap: the group is the
+       whole bucket) and pmod(xxhash64(id), ceil(n/cap)) for hot ones,
+       bounding every collect_list buffer at ~cap ids.
+    3. Pair emission is a single higher-order expression over each
+       group's id list — no filter-branching into separate cold/hot
+       consumers (the round-2 shape paid a parquet spill + re-read of
+       the full bucket table so three consumers could share the window
+       pass; with one consumer the spill and its two extra full-table
+       passes disappear):
+         cold:  all i<j pairs (ids are distinct within a bucket — each
+                doc contributes one row per band key);
+         hot:   a salted spanning STAR (member → salt-group min →
+                bucket min). A template cluster of m pages would emit
+                m(m−1)/2 pairs — 5·10^11 from one 10^6-member bucket;
+                the star keeps connected components seeing one
+                component at ~m edges. Star edges are still
+                exact-verified downstream, so a bucket mixing
+                dissimilar docs loses only edges that other, colder
+                buckets re-derive.
     4. One final groupBy dedups pairs across all buckets and (when
-       fused) all generators.
+       fused) all generators — an exchange over candidate pairs only,
+       orders of magnitude smaller than the bucket table.
     """
     has_src = "src" in bands_df.columns
-    spark = bands_df.sparkSession
     src_cols = ["src"] if has_src else []
     w_bucket = Window.partitionBy("band_id", "band_hash")
-    tagged = bands_df.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(w_bucket)
-    ).withColumn("bucket_min", F.min(id_col).over(w_bucket))
-    if scratch_path is None:
-        scratch_path = _default_scratch(spark)
-    if scratch_path is not None:
-        tagged.write.mode("overwrite").parquet(scratch_path)
-        tagged = spark.read.parquet(scratch_path)
-    else:
-        tagged = tagged.persist()
-
-    cold = tagged.filter(F.col("bucket_n") <= cap)
-    grouped = cold.groupBy("band_id", "band_hash").agg(
+    tagged = (
+        bands_df.withColumn("bucket_n", F.count(F.lit(1)).over(w_bucket))
+        .withColumn("bucket_min", F.min(id_col).over(w_bucket))
+        .filter(F.col("bucket_n") >= 2)
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("bucket_n") > cap,
+                F.pmod(
+                    F.xxhash64(id_col),
+                    F.ceil(F.col("bucket_n") / cap).cast("long"),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    grouped = tagged.groupBy("band_id", "band_hash", "salt").agg(
         F.collect_list(id_col).alias("_ids"),
+        F.first("bucket_n").alias("_n"),
+        F.first("bucket_min").alias("_min"),
         *([F.first("src").alias("src")] if has_src else []),
     )
-    # all position pairs i<j (ids are distinct within a bucket: each doc
-    # contributes one row per band_id, and band_hash is a function of it)
-    cold_pairs = (
-        grouped.select(*src_cols, "_ids", F.posexplode("_ids").alias("_i", "_x"))
-        .select(
+
+    ids = F.col("_ids")
+    # cold: all i<j position pairs of the (distinct) ids
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: _pair_struct(x, y),
+            ),
+        )
+    )
+    # hot: member → salt-group min, plus salt-group min → bucket min.
+    # The chain term self-pairs when the group min IS the bucket min;
+    # the explode-side a != b filter drops exactly those rows.
+    rep = F.array_min(ids)
+    star_pairs = F.concat(
+        F.transform(
+            F.filter(ids, lambda x: x != rep),
+            lambda x: _pair_struct(x, rep),
+        ),
+        F.array(_pair_struct(rep, F.col("_min"))),
+    )
+    out = (
+        grouped.select(
             *src_cols,
-            "_x",
             F.explode(
-                F.slice("_ids", F.col("_i") + F.lit(2), F.size("_ids"))
-            ).alias("_y"),
+                F.when(F.col("_n") <= F.lit(cap), all_pairs).otherwise(star_pairs)
+            ).alias("_p"),
         )
+        .filter(F.col("_p.a") != F.col("_p.b"))
         .select(
-            F.least("_x", "_y").alias("url_a"),
-            F.greatest("_x", "_y").alias("url_b"),
-            *src_cols,
+            F.col("_p.a").alias("url_a"), F.col("_p.b").alias("url_b"), *src_cols
         )
     )
-
-    hot = tagged.filter(F.col("bucket_n") > cap).withColumn(
-        "salt",
-        F.pmod(F.xxhash64(id_col), F.ceil(F.col("bucket_n") / cap).cast("long")),
-    )
-    hot = hot.withColumn(
-        "_rep", F.min(id_col).over(Window.partitionBy("band_id", "band_hash", "salt"))
-    )
-    hot_star = hot.filter(F.col(id_col) != F.col("_rep")).select(
-        F.least(id_col, "_rep").alias("url_a"),
-        F.greatest(id_col, "_rep").alias("url_b"),
-        *src_cols,
-    )
-    # exactly one row per salt group has id == salt rep; chaining it to
-    # the bucket min keeps the whole bucket one component
-    chain = hot.filter(
-        (F.col(id_col) == F.col("_rep")) & (F.col("_rep") != F.col("bucket_min"))
-    ).select(
-        F.least("_rep", "bucket_min").alias("url_a"),
-        F.greatest("_rep", "bucket_min").alias("url_b"),
-        *src_cols,
-    )
-
-    out = cold_pairs.unionByName(hot_star).unionByName(chain)
     if has_src:
-        out = out.groupBy("url_a", "url_b").agg(F.bit_or("src").alias("srcs"))
-    else:
-        out = out.dropDuplicates(["url_a", "url_b"])
-    if scratch_path is None:
-        # materialize now so the persisted band table can be released —
-        # candidate pairs are tiny next to the band table they came from
-        out = out.localCheckpoint(eager=True)
-        tagged.unpersist()
-    return out
+        return out.groupBy("url_a", "url_b").agg(F.bit_or("src").alias("srcs"))
+    return out.dropDuplicates(["url_a", "url_b"])
 
 
 def jaccard_expr(a, b):
@@ -256,9 +227,8 @@ def minhash_lsh_pairs(
     rows: int = 4,
     cap: int = 256,
     threshold: float = 0.8,
-    scratch_path: str | None = None,
 ) -> DataFrame:
     """signatures (with shingle sets + minhash) → verified near-dup pairs."""
     bands_df = explode_bands(signatures, sig_col=sig_col, id_col=id_col, bands=bands, rows=rows)
-    cands = candidate_pairs(bands_df, id_col=id_col, cap=cap, scratch_path=scratch_path)
+    cands = candidate_pairs(bands_df, id_col=id_col, cap=cap)
     return verify_pairs(cands, signatures, threshold, id_col=id_col, shingle_col=shingle_col)

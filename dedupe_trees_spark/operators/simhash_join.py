@@ -49,11 +49,10 @@ def simhash_pairs(
     sim_col: str = "simhash",
     max_hamming: int = 3,
     cap: int = 256,
-    scratch_path: str | None = None,
 ) -> DataFrame:
     """(url, simhash) → pairs with Hamming(simhash) ≤ max_hamming."""
     keys = explode_block_keys(df, sim_col=sim_col, id_col=id_col, max_hamming=max_hamming)
-    cands = candidate_pairs(keys, id_col=id_col, cap=cap, scratch_path=scratch_path)
+    cands = candidate_pairs(keys, id_col=id_col, cap=cap)
     sims = df.select(F.col(id_col), F.col(sim_col))
     out = (
         cands.join(

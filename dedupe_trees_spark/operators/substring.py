@@ -129,14 +129,14 @@ def winnow_text_udf(k: int, w: int):
 
 
 def _pairs_from_gram_sets(
-    df: DataFrame, grams_col, id_col: str, cap: int, scratch_path: str | None = None
+    df: DataFrame, grams_col, id_col: str, cap: int
 ) -> DataFrame:
     """(id, array<gram_hash>) → distinct candidate pairs via bucket join."""
     buckets = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(grams_col)).alias("band_hash"),
     ).withColumn("band_id", F.lit(0))
-    return candidate_pairs(buckets, id_col=id_col, cap=cap, scratch_path=scratch_path)
+    return candidate_pairs(buckets, id_col=id_col, cap=cap)
 
 
 def substring_pairs_exact(
@@ -254,7 +254,6 @@ def substring_extent_pairs(
     min_run: int = 64,
     k: int = 24,
     cap: int = 256,
-    scratch_path: str | None = None,
 ) -> DataFrame:
     """Pairs sharing a verbatim run of ≥ min_run chars, WITH the exact
     longest-shared-run length: (url_a, url_b, max_run).
@@ -276,7 +275,7 @@ def substring_extent_pairs(
     fps = df.select(
         F.col(id_col), winnow_text_udf(k, w)(F.col(text_col)).alias("_fp")
     )
-    cands = _pairs_from_gram_sets(fps, F.col("_fp"), id_col, cap, scratch_path)
+    cands = _pairs_from_gram_sets(fps, F.col("_fp"), id_col, cap)
     texts = df.select(F.col(id_col), F.col(text_col))
     joined = (
         cands.select("url_a", "url_b")

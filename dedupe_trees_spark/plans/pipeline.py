@@ -203,10 +203,7 @@ class DedupePipeline:
             fused = bucket_frames[0]
             for bfr in bucket_frames[1:]:
                 fused = fused.unionByName(bfr)
-            cands = candidate_pairs(
-                fused, id_col="nid", cap=cfg.bucket_cap,
-                scratch_path=f"{scratch}/buckets_tagged",
-            )
+            cands = candidate_pairs(fused, id_col="nid", cap=cfg.bucket_cap)
             # cands feeds the verify branch and the substr branch — spill
             # to parquet scratch so neither re-runs candidate generation
             cands.write.mode("overwrite").parquet(f"{scratch}/cands")
@@ -220,22 +217,31 @@ class DedupePipeline:
                     ) != 0
                 )
                 sim_cols = ["simhash"] if cfg.enable_simhash else []
+                # The verify join only needs sets for candidate-INVOLVED
+                # docs — a small fraction of the corpus (dup-adjacent docs
+                # plus LSH false positives). Semi-joining signatures down
+                # to candidate nids first keeps the verify shuffle's fat
+                # shingle column proportional to candidate volume, not
+                # corpus size: at the 10^12-doc design point a corpus-wide
+                # shingle shuffle (~KB/doc) is the stage's largest exchange
+                # by an order of magnitude, and the nid list is small
+                # enough that AQE broadcasts the semi join (candidate ids
+                # are known-size parquet scratch by this point).
+                cand_nids = (
+                    ver.select(F.col("url_a").alias("nid"))
+                    .unionByName(ver.select(F.col("url_b").alias("nid")))
+                    .dropDuplicates(["nid"])
+                )
                 if "shingles" in sigs.columns:
-                    sets = sigs.select("nid", "shingles", *sim_cols)
+                    sets = sigs.join(cand_nids, "nid", "left_semi").select(
+                        "nid", "shingles", *sim_cols
+                    )
                 else:
                     # shingle sets were not stored (store_shingles=False):
-                    # re-derive them for candidate-involved docs only — a
-                    # left-semi join keeps this proportional to candidate
-                    # volume, not corpus size. Spilled to parquet scratch
-                    # (two join consumers; nothing cached).
+                    # re-derive them for candidate docs only.
                     from dedupe_trees_spark.functions.minhash import shingle_set_udf
                     from dedupe_trees_spark.functions.text import token_hashes
 
-                    cand_nids = (
-                        ver.select(F.col("url_a").alias("nid"))
-                        .unionByName(ver.select(F.col("url_b").alias("nid")))
-                        .dropDuplicates(["nid"])
-                    )
                     sets = sigs.join(cand_nids, "nid", "left_semi").select(
                         "nid",
                         shingle_set_udf(cfg.shingle_k)(token_hashes("norm")).alias(
@@ -243,8 +249,10 @@ class DedupePipeline:
                         ),
                         *sim_cols,
                     )
-                    sets.write.mode("overwrite").parquet(f"{scratch}/sets")
-                    sets = self.spark.read.parquet(f"{scratch}/sets")
+                # spilled to parquet scratch: two join consumers (a/b side),
+                # nothing cached
+                sets.write.mode("overwrite").parquet(f"{scratch}/sets")
+                sets = self.spark.read.parquet(f"{scratch}/sets")
                 # ONE shared verification join computes exact Jaccard and
                 # (when simhash buckets are on) exact Hamming in the same
                 # pass: minhash-proposed pairs need J ≥ t; simhash-only
