@@ -68,6 +68,7 @@ def candidate_pairs(
     bands_df: DataFrame,
     id_col: str = "url",
     cap: int = 256,
+    star_srcs: int = 0,
 ) -> DataFrame:
     """Bucket-join candidates with hot-bucket salting; distinct (a,b) pairs.
 
@@ -118,6 +119,15 @@ def candidate_pairs(
     4. One final groupBy dedups pairs across all buckets and (when
        fused) all generators — an exchange over candidate pairs only,
        orders of magnitude smaller than the bucket table.
+
+    ``star_srcs``: bitmask of generators whose buckets ALWAYS use the
+    star topology, even when cold. Right for generators whose edges are
+    never pruned downstream (the pipeline passes its exact
+    content-hash buckets: members are byte-identical, so no
+    verification ever drops a star edge and m−1 edges carry the same
+    component as m(m−1)/2 would). Generators whose candidates face
+    verification need cold all-pairs — a star would lose members that
+    fail the check against the rep but pass against another member.
     """
     has_src = "src" in bands_df.columns
     src_cols = ["src"] if has_src else []
@@ -166,12 +176,13 @@ def candidate_pairs(
         ),
         F.array(_pair_struct(rep, F.col("_min"))),
     )
+    is_cold = F.col("_n") <= F.lit(cap)
+    if has_src and star_srcs:
+        is_cold = is_cold & (F.col("src").bitwiseAND(F.lit(star_srcs)) == 0)
     out = (
         grouped.select(
             *src_cols,
-            F.explode(
-                F.when(F.col("_n") <= F.lit(cap), all_pairs).otherwise(star_pairs)
-            ).alias("_p"),
+            F.explode(F.when(is_cold, all_pairs).otherwise(star_pairs)).alias("_p"),
         )
         .filter(F.col("_p.a") != F.col("_p.b"))
         .select(

@@ -51,7 +51,6 @@ from dedupe_trees_spark.io import (
 )
 from dedupe_trees_spark.operators import resolve as R
 from dedupe_trees_spark.operators.components import assign_components
-from dedupe_trees_spark.operators.exact import exact_edges
 from dedupe_trees_spark.operators.lsh import candidate_pairs, explode_bands, jaccard_expr
 from dedupe_trees_spark.plans.lineage import record_stage
 
@@ -141,24 +140,36 @@ class DedupePipeline:
         )
 
     # bucket-provenance bit flags (candidate_pairs bit_or's them per pair)
-    SRC_MINHASH, SRC_SIMHASH, SRC_SUBSTR = 1, 2, 4
+    SRC_MINHASH, SRC_SIMHASH, SRC_SUBSTR, SRC_EXACT = 1, 2, 4, 8
 
     def _build_pairs(self) -> DataFrame:
         cfg = self.cfg
         sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
 
-        # FUSED candidate generation: all three generators' buckets go
+        # FUSED candidate generation: ALL FOUR generators' buckets go
         # through ONE candidate_pairs pass — one bucket-count window, one
-        # cold-bucket aggregation, one dedup — instead of three separate
-        # passes (round-2 shape: ~3× the full-table exchanges; its kernel
-        # decomposition blamed exactly that fixed per-exchange latency,
+        # per-bucket aggregation, one dedup — instead of separate passes
+        # (round-2 shape: ~3× the full-table exchanges plus a separate
+        # exact-hash groupBy over the corpus; its kernel decomposition
+        # blamed exactly that fixed per-exchange latency,
         # BENCH/BASELINE.md K2). band_id namespaces keep the generators'
         # buckets disjoint: minhash [0, bands), simhash tables
-        # [bands, bands+10), substr fingerprints at bands+10. Per-pair
-        # provenance is a bit-OR int (SRC_* flags), so the dedup stays a
-        # fixed-width partial agg.
+        # [bands, bands+10), substr fingerprints at bands+10, exact
+        # content-hash at bands+11. Per-pair provenance is a bit-OR int
+        # (SRC_* flags), so the dedup stays a fixed-width partial agg.
+        # Exact buckets always use star topology (star_srcs): members
+        # are byte-identical, so no verification prunes their edges and
+        # m−1 edges carry the component — same shape exact_edges() used
+        # as a standalone stage.
         scratch = f"{cfg.ckpt_dir}/_scratch"
-        bucket_frames = []
+        bucket_frames = [
+            sigs.select(
+                "nid",
+                F.lit(cfg.bands + 11).alias("band_id"),
+                F.col("content_hash").alias("band_hash"),
+                F.lit(self.SRC_EXACT).alias("src"),
+            )
+        ]
         if cfg.enable_minhash:
             if cfg.checkpoint_bands:
                 bands = read_stage(self.spark, cfg.ckpt_dir, "bands")
@@ -197,130 +208,119 @@ class DedupePipeline:
             )
 
         # url_a/url_b column names are the pair-plumbing convention; from
-        # here on they carry int64 nids, not url strings
-        edge_frames = [exact_edges(sigs, id_col="nid", hash_col="content_hash")]
-        if bucket_frames:
-            fused = bucket_frames[0]
-            for bfr in bucket_frames[1:]:
-                fused = fused.unionByName(bfr)
-            cands = candidate_pairs(fused, id_col="nid", cap=cfg.bucket_cap)
-            # cands feeds the verify branch and the substr branch — spill
-            # to parquet scratch so neither re-runs candidate generation
-            cands.write.mode("overwrite").parquet(f"{scratch}/cands")
-            cands = self.spark.read.parquet(f"{scratch}/cands")
-
-            need_verify = cfg.enable_minhash or cfg.enable_simhash
-            if need_verify:
-                ver = cands.filter(
-                    F.col("srcs").bitwiseAND(
-                        F.lit(self.SRC_MINHASH | self.SRC_SIMHASH)
-                    ) != 0
-                )
-                sim_cols = ["simhash"] if cfg.enable_simhash else []
-                # The verify join only needs sets for candidate-INVOLVED
-                # docs — a small fraction of the corpus (dup-adjacent docs
-                # plus LSH false positives). Semi-joining signatures down
-                # to candidate nids first keeps the verify shuffle's fat
-                # shingle column proportional to candidate volume, not
-                # corpus size: at the 10^12-doc design point a corpus-wide
-                # shingle shuffle (~KB/doc) is the stage's largest exchange
-                # by an order of magnitude, and the nid list is small
-                # enough that AQE broadcasts the semi join (candidate ids
-                # are known-size parquet scratch by this point).
-                cand_nids = (
-                    ver.select(F.col("url_a").alias("nid"))
-                    .unionByName(ver.select(F.col("url_b").alias("nid")))
-                    .dropDuplicates(["nid"])
-                )
-                if "shingles" in sigs.columns:
-                    sets = sigs.join(cand_nids, "nid", "left_semi").select(
-                        "nid", "shingles", *sim_cols
-                    )
-                else:
-                    # shingle sets were not stored (store_shingles=False):
-                    # re-derive them for candidate docs only.
-                    from dedupe_trees_spark.functions.minhash import shingle_set_udf
-                    from dedupe_trees_spark.functions.text import token_hashes
-
-                    sets = sigs.join(cand_nids, "nid", "left_semi").select(
-                        "nid",
-                        shingle_set_udf(cfg.shingle_k)(token_hashes("norm")).alias(
-                            "shingles"
-                        ),
-                        *sim_cols,
-                    )
-                # spilled to parquet scratch: two join consumers (a/b side),
-                # nothing cached
-                sets.write.mode("overwrite").parquet(f"{scratch}/sets")
-                sets = self.spark.read.parquet(f"{scratch}/sets")
-                # ONE shared verification join computes exact Jaccard and
-                # (when simhash buckets are on) exact Hamming in the same
-                # pass: minhash-proposed pairs need J ≥ t; simhash-only
-                # pairs additionally need Hamming ≤ max — identical
-                # semantics to verifying the generators separately, at
-                # two joins instead of four.
-                a_side = sets.select(
-                    F.col("nid").alias("url_a"),
-                    F.col("shingles").alias("_set_a"),
-                    *[F.col(c).alias("_sim_a") for c in sim_cols],
-                )
-                b_side = sets.select(
-                    F.col("nid").alias("url_b"),
-                    F.col("shingles").alias("_set_b"),
-                    *[F.col(c).alias("_sim_b") for c in sim_cols],
-                )
-                scored = (
-                    ver.join(a_side, "url_a")
-                    .join(b_side, "url_b")
-                    .withColumn(
-                        "score", jaccard_expr(F.col("_set_a"), F.col("_set_b"))
-                    )
-                )
-                is_minhash = F.col("srcs").bitwiseAND(F.lit(self.SRC_MINHASH)) != 0
-                cond = F.col("score") >= cfg.jaccard_threshold
-                if cfg.enable_simhash:
-                    from dedupe_trees_spark.functions.simhash import hamming_dist
-
-                    ham_ok = (
-                        hamming_dist(F.col("_sim_a"), F.col("_sim_b"))
-                        <= cfg.simhash_max_hamming
-                    )
-                    cond = cond & (is_minhash | ham_ok)
-                kind = (
-                    F.when(is_minhash, F.lit("minhash")).otherwise(F.lit("simhash"))
-                    if cfg.enable_simhash
-                    else F.lit("minhash")
-                )
-                edge_frames.append(
-                    scored.filter(cond).select(
-                        "url_a", "url_b", kind.alias("kind"), "score"
-                    )
-                )
-            if cfg.enable_substring:
-                edge_frames.append(
-                    cands.filter(
-                        F.col("srcs").bitwiseAND(F.lit(self.SRC_SUBSTR)) != 0
-                    ).select(
-                        "url_a", "url_b",
-                        F.lit("substr").alias("kind"),
-                        F.lit(1.0).alias("score"),
-                    )
-                )
-        pairs = edge_frames[0]
-        for e in edge_frames[1:]:
-            pairs = pairs.unionByName(e)
-        # one row per undirected pair; keep the strongest-evidence kind
-        # (partial aggregation beats a row_number window here: no sort)
-        pri = (
-            F.when(F.col("kind") == "exact", 0)
-            .when(F.col("kind") == "minhash", 1)
-            .when(F.col("kind") == "simhash", 2)
-            .otherwise(3)
+        # here on they carry compact nids, not url strings
+        fused = bucket_frames[0]
+        for bfr in bucket_frames[1:]:
+            fused = fused.unionByName(bfr)
+        cands = candidate_pairs(
+            fused, id_col="nid", cap=cfg.bucket_cap, star_srcs=self.SRC_EXACT
         )
-        return (
-            pairs.groupBy("url_a", "url_b")
-            .agg(F.min_by(F.struct("kind", "score"), pri).alias("_best"))
-            .select("url_a", "url_b", F.col("_best.kind").alias("kind"), F.col("_best.score").alias("score"))
+        # cands feeds the edge assembly AND the candidate-nid list for
+        # the sets semi-filter — spill to parquet scratch so neither
+        # re-runs candidate generation
+        cands.write.mode("overwrite").parquet(f"{scratch}/cands")
+        cands = self.spark.read.parquet(f"{scratch}/cands")
+
+        # Edge assembly is ONE flow: every candidate pair is classified
+        # by a single CASE over its provenance bits + exact-Jaccard /
+        # Hamming scores, strongest evidence first (exact > minhash >
+        # simhash > substr — the same priority the former per-generator
+        # union resolved with a min_by groupBy; with one row in and at
+        # most one row out per pair, that final full-pair exchange is
+        # gone). Approximation can only lose pairs, never admit false
+        # ones: minhash/simhash-proposed pairs still require exact
+        # J ≥ threshold (simhash-only additionally Hamming ≤ max).
+        is_ex = F.col("srcs").bitwiseAND(F.lit(self.SRC_EXACT)) != 0
+        is_mh = F.col("srcs").bitwiseAND(F.lit(self.SRC_MINHASH)) != 0
+        is_sh = F.col("srcs").bitwiseAND(F.lit(self.SRC_SIMHASH)) != 0
+        is_ss = F.col("srcs").bitwiseAND(F.lit(self.SRC_SUBSTR)) != 0
+
+        need_verify = cfg.enable_minhash or cfg.enable_simhash
+        if need_verify:
+            sim_cols = ["simhash"] if cfg.enable_simhash else []
+            # The verify join only needs sets for candidate-INVOLVED
+            # docs — a small fraction of the corpus (dup-adjacent docs
+            # plus LSH false positives). Semi-joining signatures down
+            # to candidate nids first keeps the verify shuffle's fat
+            # shingle column proportional to candidate volume, not
+            # corpus size: at the 10^12-doc design point a corpus-wide
+            # shingle shuffle (~KB/doc) is the stage's largest exchange
+            # by an order of magnitude, and the nid list is small
+            # enough that AQE broadcasts the semi join (candidate ids
+            # are known-size parquet scratch by this point).
+            ver = cands.filter(is_mh | is_sh)
+            cand_nids = (
+                ver.select(F.col("url_a").alias("nid"))
+                .unionByName(ver.select(F.col("url_b").alias("nid")))
+                .dropDuplicates(["nid"])
+            )
+            if "shingles" in sigs.columns:
+                sets = sigs.join(cand_nids, "nid", "left_semi").select(
+                    "nid", "shingles", *sim_cols
+                )
+            else:
+                # shingle sets were not stored (store_shingles=False):
+                # re-derive them for candidate docs only.
+                from dedupe_trees_spark.functions.minhash import shingle_set_udf
+                from dedupe_trees_spark.functions.text import token_hashes
+
+                sets = sigs.join(cand_nids, "nid", "left_semi").select(
+                    "nid",
+                    shingle_set_udf(cfg.shingle_k)(token_hashes("norm")).alias(
+                        "shingles"
+                    ),
+                    *sim_cols,
+                )
+            # spilled to parquet scratch: two join consumers (a/b side),
+            # nothing cached
+            sets.write.mode("overwrite").parquet(f"{scratch}/sets")
+            sets = self.spark.read.parquet(f"{scratch}/sets")
+            a_side = sets.select(
+                F.col("nid").alias("url_a"),
+                F.col("shingles").alias("_set_a"),
+                *[F.col(c).alias("_sim_a") for c in sim_cols],
+            )
+            b_side = sets.select(
+                F.col("nid").alias("url_b"),
+                F.col("shingles").alias("_set_b"),
+                *[F.col(c).alias("_sim_b") for c in sim_cols],
+            )
+            # LEFT joins: exact-/substr-only pairs have no sets row and
+            # classify on their provenance bits alone (null J comparisons
+            # are false, and the exact arm fires before them anyway)
+            scored = cands.join(a_side, "url_a", "left").join(
+                b_side, "url_b", "left"
+            )
+            jac = jaccard_expr(F.col("_set_a"), F.col("_set_b"))
+            j_ok = jac >= cfg.jaccard_threshold
+            kind = F.when(is_ex, F.lit("exact")).when(
+                is_mh & j_ok, F.lit("minhash")
+            )
+            if cfg.enable_simhash:
+                from dedupe_trees_spark.functions.simhash import hamming_dist
+
+                ham_ok = (
+                    hamming_dist(F.col("_sim_a"), F.col("_sim_b"))
+                    <= cfg.simhash_max_hamming
+                )
+                kind = kind.when(is_sh & j_ok & ham_ok, F.lit("simhash"))
+            if cfg.enable_substring:
+                kind = kind.when(is_ss, F.lit("substr"))
+            scored = scored.withColumn("kind", kind).withColumn(
+                "score",
+                F.when(F.col("kind").isin("minhash", "simhash"), jac).otherwise(
+                    F.lit(1.0)
+                ),
+            )
+        else:
+            kind = F.when(is_ex, F.lit("exact"))
+            if cfg.enable_substring:
+                kind = kind.when(is_ss, F.lit("substr"))
+            scored = cands.withColumn("kind", kind).withColumn(
+                "score", F.lit(1.0)
+            )
+        return scored.filter(F.col("kind").isNotNull()).select(
+            "url_a", "url_b", "kind", "score"
         )
 
     def _build_components(self) -> DataFrame:
@@ -437,7 +437,8 @@ class DedupePipeline:
         if not n_docs:
             return
         rows_per_doc = (
-            (cfg.bands if cfg.enable_minhash else 0)
+            1  # exact content-hash bucket
+            + (cfg.bands if cfg.enable_minhash else 0)
             + (10 if cfg.enable_simhash else 0)
             + (80 if cfg.enable_substring else 0)
         )
