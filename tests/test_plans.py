@@ -41,6 +41,29 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_candidate_pass_is_single_bucket_exchange(spark):
+    """The pairs-stage scaling story (docs/SCALE.md S3): the fused
+    candidate pass makes exactly TWO exchanges — one over the (huge)
+    bucket table for the window, one over the (tiny) pair output for
+    the cross-generator dedup. The per-bucket aggregation must chain on
+    the window's hash partitioning without a third exchange; a
+    regression here re-shuffles the job's largest table at 10^12 docs."""
+    from pyspark.sql import functions as F
+
+    from dedupe_trees_spark.operators.lsh import candidate_pairs
+
+    bands = spark.range(500).select(
+        F.col("id").alias("nid"),
+        (F.col("id") % 25).alias("band_id"),
+        F.pmod(F.xxhash64("id"), F.lit(60)).alias("band_hash"),
+        F.lit(1).alias("src"),
+    )
+    out = candidate_pairs(bands, id_col="nid", cap=8, star_srcs=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" in plan and "ObjectHashAggregate" in plan
+
+
 def test_signature_stage_never_scans_html(spark, tmp_path):
     from dedupe_trees_spark.config import PipelineConfig
     from dedupe_trees_spark.datagen import GenConfig, generate_pages
