@@ -7,8 +7,9 @@ the part that a bigger cluster actually multiplies:
 
   K1: signature kernel — token hashing (JVM) + combined signature UDF
       (shingle mix + 128-perm MinHash + SimHash + winnow in NumPy)
-  K2: candidate+verify kernel — band explode, bucket self-join,
-      exact-Jaccard verification (JVM joins + array_intersect)
+  K2: candidate+verify kernel — band explode, single-exchange salted
+      bucket aggregation, exact-Jaccard verification (JVM joins +
+      array_intersect); no disk spill anywhere in this kernel
 
 Usage: python tools/kernel_scaling.py [n_docs]  → one JSON line.
 """
@@ -32,11 +33,7 @@ def run_at(master: str, cores: int, n_docs: int) -> dict:
     from dedupe_trees_spark.operators.lsh import explode_bands, minhash_lsh_pairs
     from dedupe_trees_spark.session import get_spark
 
-    spark = get_spark(
-        f"kernel{cores}", master=master, shuffle_partitions=2 * cores,
-        # keep the band-table spill on tmpfs so K2 stays a no-disk kernel
-        extra_conf={"spark.dedupe_trees.scratch": "/dev/shm/kernel_scratch"},
-    )
+    spark = get_spark(f"kernel{cores}", master=master, shuffle_partitions=2 * cores)
     pages = generate_pages(spark, GenConfig(n_docs=n_docs, seed=42), partitions=4 * cores)
     # int64 node ids, matching the shipped pipeline (S1 nid = xxhash64(url))
     pages = pages.select(
@@ -71,12 +68,6 @@ def run_at(master: str, cores: int, n_docs: int) -> dict:
 
     out = {"cores": cores, "k1_sig_sec": round(k1, 2), "k2_pairs_sec": round(k2, 2)}
     spark.stop()
-    # _default_scratch registers atexit cleanup, but a multi-point sweep
-    # in one process would still hold every run's band table in tmpfs
-    # until exit — drop this run's scratch now
-    import shutil
-
-    shutil.rmtree("/dev/shm/kernel_scratch", ignore_errors=True)
     return out
 
 
