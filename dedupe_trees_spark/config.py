@@ -39,13 +39,15 @@ class PipelineConfig:
     # (~260 MB + ~13 s per 1M docs)
     checkpoint_bands: bool = False
     # storage/bandwidth: the corpus-wide shingle-set column is the largest
-    # intermediate (≈2× the text bytes). False = keep normalized text in
-    # the signatures checkpoint instead and re-derive shingle sets at
-    # verify time for candidate-involved docs only — the right trade when
-    # candidates ≪ corpus (true at 10^12 docs); measured slower at sandbox
-    # scale where candidate volume is a large corpus fraction, so the
-    # default stays True here.
-    store_shingles: bool = True
+    # intermediate (≈2× the text bytes). False (default) = keep normalized
+    # text in the signatures checkpoint instead and re-derive shingle sets
+    # at verify time for candidate-involved docs only — the right trade
+    # whenever candidates ≪ corpus (always true at web scale). Measured on
+    # the fixed 4M-doc input, local[32]/local[8] (docs/SCALE.md has the
+    # table): False wins at every core count (254 s vs 406 s at 32 cores),
+    # with identical canonical output. True only pays off below ~10^5 docs,
+    # where the extra verify-time UDF pass outweighs the smaller S1 write.
+    store_shingles: bool = False
     # resolution (reference resolver chain, R4–R8 analogues)
     resolvers: tuple = ("source_order", "path_depth", "copy_pattern", "mod_date", "arbitrary")
     # execution
@@ -79,10 +81,11 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
     p.add_argument("--bucket-cap", type=int, default=256)
     p.add_argument("--nid-bits", type=int, default=64, choices=[64, 128], dest="nid_bits")
     p.add_argument(
-        "--no-store-shingles", action="store_false", dest="store_shingles",
-        help="keep normalized text instead of the corpus-wide shingle-set "
-        "column; shingle sets are re-derived at verify time for "
-        "candidate-involved docs only (the 10^12-doc trade)",
+        "--store-shingles", action="store_true", dest="store_shingles",
+        help="materialize the corpus-wide shingle-set column in the "
+        "signatures checkpoint instead of re-deriving sets at verify "
+        "time for candidate-involved docs (only worth it on tiny "
+        "corpora; see docs/SCALE.md crossover table)",
     )
     p.add_argument(
         "--resolve",

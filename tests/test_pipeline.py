@@ -203,6 +203,16 @@ def test_fused_pairs_match_per_generator_union(pipeline_run):
     from dedupe_trees_spark.operators.substring import _pairs_from_gram_sets
 
     sigs = read_stage(spark, ckpt, "signatures")
+    if "shingles" not in sigs.columns:
+        # shipped default is store_shingles=False: derive the sets the
+        # same way the verify path does, so the reference union below
+        # verifies against identical shingle sets
+        from dedupe_trees_spark.functions.minhash import shingle_set_udf
+        from dedupe_trees_spark.functions.text import token_hashes
+
+        sigs = sigs.withColumn(
+            "shingles", shingle_set_udf(cfg.shingle_k)(token_hashes("norm"))
+        )
     frames = [exact_edges(sigs, id_col="nid", hash_col="content_hash")]
     bands = explode_bands(
         sigs, sig_col="minhash", id_col="nid", bands=cfg.bands, rows=cfg.rows_per_band
