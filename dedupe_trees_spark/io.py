@@ -48,3 +48,26 @@ def remove_dir(spark: SparkSession, path: str) -> None:
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(p):
         fs.delete(p, True)
+
+
+def replace_dir(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomically-enough swap ``dst`` with ``src`` (delete + rename via
+    the Hadoop FileSystem API). Crash safety relies on the ``_SUCCESS``
+    convention: a crash between delete and rename leaves ``dst`` without
+    its marker, so resume simply rebuilds the stage."""
+    jvm = spark._jvm
+    sp = jvm.org.apache.hadoop.fs.Path(src)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = dp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dp):
+        fs.delete(dp, True)
+    fs.rename(sp, dp)
+
+
+def mark(ckpt_dir: str, stage: str, name: str) -> None:
+    """Drop an empty marker file inside a committed stage directory."""
+    open(os.path.join(stage_path(ckpt_dir, stage), name), "w").close()
+
+
+def marked(ckpt_dir: str, stage: str, name: str) -> bool:
+    return os.path.exists(os.path.join(stage_path(ckpt_dir, stage), name))

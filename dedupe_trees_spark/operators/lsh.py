@@ -147,8 +147,11 @@ def candidate_pairs(
             ).otherwise(F.lit(0)),
         )
     )
+    # array_distinct: defense in depth against duplicate ids in a bucket
+    # (S1's audit enforces one row per nid, but standalone callers and
+    # audit_ids=False runs get the same guarantee here for ~free)
     grouped = tagged.groupBy("band_id", "band_hash", "salt").agg(
-        F.collect_list(id_col).alias("_ids"),
+        F.array_distinct(F.collect_list(id_col)).alias("_ids"),
         F.first("bucket_n").alias("_n"),
         F.first("bucket_min").alias("_min"),
         *([F.first("src").alias("src")] if has_src else []),

@@ -347,26 +347,69 @@ class DedupePipeline:
         )
 
     def _audit_ids(self) -> None:
-        """Abort if the url → nid mapping is not injective.
+        """Enforce the document-identity invariant: ONE signatures row
+        per nid.
 
-        Single-shuffle formulation: groupBy(nid) + countDistinct(url) is
-        one exchange with map-side partial aggregation, where the earlier
-        two-countDistinct agg paid an Expand (2× the rows) plus a
-        shuffle — the audit is a guard rail on EVERY run, so its cost
-        matters. take(1) stops at the first collision found."""
+        Two ways an input breaks it, handled differently:
+
+        1. nid collision — two DIFFERENT urls share a node id (64-bit
+           birthday bound at ~10^9+ docs). Not repairable here → abort
+           with advice to rerun at nid_bits=128.
+        2. re-crawl duplicates — the SAME url ingested more than once
+           (Common-Crawl-style tables spanning crawls do this
+           routinely; the 1M bench input contains one such row, which
+           is how this path got its regression test). Every downstream
+           stage assumes nid identifies one document: duplicate rows
+           used to surface as self-pairs, join fan-out in the verify
+           stage, and — worst — the same url in both the canonical
+           set and the removal manifest, which a delete sink would
+           then drop entirely. Repair: keep the row with the max
+           (warc_ts, content_hash) per nid (latest crawl wins;
+           content-hash breaks exact-timestamp ties deterministically;
+           byte-identical leftovers collapse by value) and swap the
+           rewritten checkpoint in.
+
+        Cost: the detection aggregation is ONE exchange of
+        (nid, url-distinct count) with map-side partial aggregation —
+        the same exchange the plain injectivity audit already paid.
+        The repair path (join + rewrite of the signatures checkpoint)
+        runs only when duplicates actually exist."""
         sigs = read_stage(self.spark, self.cfg.ckpt_dir, "signatures")
-        hit = (
-            sigs.groupBy("nid")
-            .agg(F.countDistinct("url").alias("u"))
-            .filter(F.col("u") > 1)
-            .take(1)
+        agg = sigs.groupBy("nid").agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("url").alias("u")
         )
-        if hit:
+        flags = agg.select(
+            F.max((F.col("u") > 1).cast("int")).alias("collide"),
+            F.max((F.col("n") > 1).cast("int")).alias("dup"),
+        ).collect()[0]
+        if flags["collide"]:
             raise RuntimeError(
                 "nid collision detected (two urls share one node id); rerun "
                 "with nid_bits=128 (struct of two seeded xxhash64s) for this "
                 "corpus size"
             )
+        if not flags["dup"]:
+            return
+        dup_nids = agg.filter(F.col("n") > 1).select("nid")
+        flagged = sigs.join(dup_nids, "nid", "left_semi")
+        keep_key = F.struct(F.col("warc_ts"), F.col("content_hash"))
+        winners = (
+            flagged.withColumn("_k", keep_key)
+            .withColumn(
+                "_kmax", F.max("_k").over(Window.partitionBy("nid"))
+            )
+            .filter(F.col("_k") == F.col("_kmax"))
+            .drop("_k", "_kmax")
+            .dropDuplicates(["nid"])  # byte-identical leftovers
+        )
+        clean = sigs.join(dup_nids, "nid", "left_anti").unionByName(winners)
+        tmp = f"{self.cfg.ckpt_dir}/_sig_collapsed"
+        write_stage(clean, self.cfg.ckpt_dir, "_sig_collapsed")
+        from dedupe_trees_spark.io import replace_dir, stage_path
+
+        replace_dir(
+            self.spark, tmp, stage_path(self.cfg.ckpt_dir, "signatures")
+        )
 
     # ------------------------------------------------------------------- run
 
@@ -388,8 +431,20 @@ class DedupePipeline:
         ]
         report = {}
         base_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
+        from dedupe_trees_spark.io import mark, marked
+
         for stage in enabled:
             if self.cfg.resume and stage_done(self.cfg.ckpt_dir, stage):
+                # the audit (and its re-crawl collapse) commits its own
+                # marker: a crash between the signatures write and the
+                # audit must not let resume skip the repair
+                if (
+                    stage == "signatures"
+                    and self.cfg.audit_ids
+                    and not marked(self.cfg.ckpt_dir, stage, "_AUDITED")
+                ):
+                    self._audit_ids()
+                    mark(self.cfg.ckpt_dir, stage, "_AUDITED")
                 report[stage] = {"stage": stage, "skipped": True}
                 continue
             if stage == "pairs":
@@ -401,6 +456,7 @@ class DedupePipeline:
                 self.spark.conf.set("spark.sql.shuffle.partitions", base_parts)
             if stage == "signatures" and self.cfg.audit_ids:
                 self._audit_ids()
+                mark(self.cfg.ckpt_dir, stage, "_AUDITED")
             wall_ms = (time.time() - t0) * 1000
             report[stage] = record_stage(self.spark, self.cfg.ckpt_dir, stage, wall_ms)
             report[stage]["record_ms"] = round((time.time() - t0) * 1000 - wall_ms, 1)

@@ -344,3 +344,50 @@ def test_config_from_args():
     assert not cfg.enable_simhash and cfg.enable_minhash
     assert cfg.resolvers == ("mod_date", "arbitrary")
     assert cfg.bucket_cap == 99
+
+
+def test_recrawl_duplicates_collapse_to_latest(spark, tmp_path):
+    """Document-identity repair (found via a planted duplicate in the 1M
+    bench input): the same url ingested (a) twice byte-identically and
+    (b) a third time as a LATER re-crawl with different text. The S1
+    audit must collapse to ONE signatures row per nid keeping the latest
+    (warc_ts, content_hash); downstream there must be no self-pairs and
+    no url sitting in both the kept set and the removal manifest (a
+    delete sink would anti-join the kept copy away)."""
+    import os
+
+    base = generate_pages(spark, GenConfig(n_docs=200, seed=7), partitions=4)
+    victim = base.orderBy("url").limit(1)
+    recrawl = victim.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 DAYS")
+    ).withColumn("text", F.lit("fresh recrawl body " * 40))
+    inp = str(tmp_path / "pages")
+    base.unionByName(victim).unionByName(recrawl).write.mode("overwrite").parquet(inp)
+    victim_url = victim.collect()[0]["url"]
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(input_path=inp, ckpt_dir=ckpt, bucket_cap=64)
+    pipe = DedupePipeline(spark, cfg)
+    pipe.run()
+
+    sigs = spark.read.parquet(f"{ckpt}/signatures")
+    assert sigs.count() == 200  # one row per document, duplicates collapsed
+    assert sigs.groupBy("nid").count().filter("count > 1").count() == 0
+    win = sigs.filter(F.col("url") == victim_url).collect()
+    assert len(win) == 1 and "fresh recrawl body" in win[0]["norm"]
+    assert os.path.exists(f"{ckpt}/signatures/_AUDITED")
+
+    pairs = spark.read.parquet(f"{ckpt}/pairs")
+    assert pairs.filter(F.col("url_a") == F.col("url_b")).count() == 0
+    assert pairs.groupBy("url_a", "url_b").count().filter("count > 1").count() == 0
+
+    canon = pipe.canonical()
+    assert canon.count() == 200
+    assert canon.filter(F.col("url") == victim_url).count() == 1
+    kept = canon.filter("is_canonical").select("url")
+    removed = canon.filter("NOT is_canonical").select("url")
+    assert kept.join(removed, "url").count() == 0
+
+    # resume skips the stage but never re-collapses or aborts
+    report2 = DedupePipeline(spark, cfg).run()
+    assert report2["signatures"].get("skipped")
