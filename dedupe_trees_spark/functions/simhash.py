@@ -85,6 +85,12 @@ def simhash_block_keys(col: Column | str, d: int = 3) -> Column:
     """
     if d != 3:
         raise ValueError("block layout is sized for max_hamming <= 3")
+    # key packing: first block shifted past the widest second block, so
+    # the two block values can never overlap. Pin the invariant so a
+    # future SIMHASH_BLOCKS change cannot silently alias keys.
+    max_width = max(w for _, w in SIMHASH_BLOCKS)
+    assert all(off + w <= 64 for off, w in SIMHASH_BLOCKS)
+    assert max_width + max_width <= 63, "packed key must fit a signed int64"
     c = F.col(col) if isinstance(col, str) else col
     vals = [
         F.shiftrightunsigned(c, off).bitwiseAND(F.lit((1 << width) - 1))
@@ -94,8 +100,7 @@ def simhash_block_keys(col: Column | str, d: int = 3) -> Column:
     n = len(SIMHASH_BLOCKS)
     for i in range(n):
         for j in range(i + 1, n):
-            # second block shifted past the widest first block (13 bits)
-            keys.append(F.shiftleft(vals[i], 13) + vals[j])
+            keys.append(F.shiftleft(vals[i], max_width) + vals[j])
     return F.array(*keys)
 
 

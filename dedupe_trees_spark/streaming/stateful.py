@@ -80,17 +80,18 @@ def _update_source(
     seen_set = set(seen)
     batch_docs = batch_dups = 0
     for pdf in pdfs:
-        for h in pdf["content_hash"]:
-            h = int(h)
-            batch_docs += 1
-            if h in seen_set:
-                batch_dups += 1
-            else:
-                seen_set.add(h)
-                seen.append(h)
+        # vectorized dup check: dup = already in state OR a repeat of an
+        # earlier row in this same frame (pandas C paths, no per-row
+        # Python — same rule the old scalar loop applied in order)
+        h = pdf["content_hash"].astype("int64")
+        batch_docs += len(h)
+        in_state = h.isin(seen_set)
+        first_here = ~h.duplicated(keep="first")
+        batch_dups += int((in_state | ~first_here).sum())
+        new = h[~in_state & first_here].tolist()
+        seen_set.update(new)
+        seen.extend(new)
     if len(seen) > max_hashes:                      # bounded state: drop oldest
-        for h in seen[: len(seen) - max_hashes]:
-            seen_set.discard(h)
         seen = seen[len(seen) - max_hashes :]
     total_docs += batch_docs
     total_dups += batch_dups
