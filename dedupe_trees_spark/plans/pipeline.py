@@ -476,10 +476,13 @@ class DedupePipeline:
         10 simhash tables + ~50–100 winnow fingerprints per doc). A
         global 2×cores partition count leaves multi-GB partitions at
         large corpus sizes; here partitions grow with the estimated
-        bucket-row count (~8M rows ≈ 200–400 MB per partition target),
-        never below the configured base, capped at 4096. AQE's
-        coalescePartitions then shrinks small exchanges back at runtime,
-        so over-provisioning costs only map-side bucket files.
+        bucket-row count (~2M rows ≈ 60–100 MB per partition target —
+        measured at 4M docs/local[32]: 64 parts 152.9 s, 128 parts
+        133.9 s, 512 parts 124.8 s; smaller window sorts and less GC
+        beat the extra task overhead), never below the configured base,
+        capped at 4096. AQE's coalescePartitions then shrinks small
+        exchanges back at runtime, so over-provisioning costs only
+        map-side bucket files.
         """
         cfg = self.cfg
         try:
@@ -499,7 +502,7 @@ class DedupePipeline:
             + (80 if cfg.enable_substring else 0)
         )
         est_rows = n_docs * max(rows_per_doc, 1)
-        parts = min(max(int(base_parts), est_rows // 8_000_000), 4096)
+        parts = min(max(int(base_parts), est_rows // 2_000_000), 4096)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
     # ------------------------------------------------------------- accessors
