@@ -392,7 +392,11 @@ class DedupePipeline:
             return
         dup_nids = agg.filter(F.col("n") > 1).select("nid")
         flagged = sigs.join(dup_nids, "nid", "left_semi")
-        keep_key = F.struct(F.col("warc_ts"), F.col("content_hash"))
+        # latest crawl wins; content hash breaks exact-timestamp ties.
+        # Inputs without a timestamp column (minimal jsonl/csv) fall back
+        # to the content hash alone — still deterministic.
+        key_cols = [c for c in ("warc_ts",) if c in sigs.columns]
+        keep_key = F.struct(*[F.col(c) for c in key_cols], F.col("content_hash"))
         winners = (
             flagged.withColumn("_k", keep_key)
             .withColumn(
