@@ -26,8 +26,26 @@ def stage_path(ckpt_dir: str, stage: str) -> str:
     return os.path.join(ckpt_dir, stage)
 
 
+def _hadoop_fs(path: str):
+    """(FileSystem, Path) for ``path`` via the active session, or
+    (None, None) when no session is up (tools inspecting a local ckpt
+    dir without Spark). Marker/`_SUCCESS` checks go through this so a
+    ckpt_dir on HDFS/S3A behaves the same as a local one — matching
+    remove_dir/replace_dir, which were already Hadoop-FS-backed."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None, None
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
 def stage_done(ckpt_dir: str, stage: str) -> bool:
-    return os.path.exists(os.path.join(stage_path(ckpt_dir, stage), "_SUCCESS"))
+    target = os.path.join(stage_path(ckpt_dir, stage), "_SUCCESS")
+    fs, p = _hadoop_fs(target)
+    if fs is not None:
+        return fs.exists(p)
+    return os.path.exists(target)
 
 
 def write_stage(df: DataFrame, ckpt_dir: str, stage: str) -> None:
@@ -66,8 +84,17 @@ def replace_dir(spark: SparkSession, src: str, dst: str) -> None:
 
 def mark(ckpt_dir: str, stage: str, name: str) -> None:
     """Drop an empty marker file inside a committed stage directory."""
-    open(os.path.join(stage_path(ckpt_dir, stage), name), "w").close()
+    target = os.path.join(stage_path(ckpt_dir, stage), name)
+    fs, p = _hadoop_fs(target)
+    if fs is not None:
+        fs.create(p, True).close()
+        return
+    open(target, "w").close()
 
 
 def marked(ckpt_dir: str, stage: str, name: str) -> bool:
-    return os.path.exists(os.path.join(stage_path(ckpt_dir, stage), name))
+    target = os.path.join(stage_path(ckpt_dir, stage), name)
+    fs, p = _hadoop_fs(target)
+    if fs is not None:
+        return fs.exists(p)
+    return os.path.exists(target)

@@ -8,9 +8,13 @@ Algorithm: alternating large-star / small-star (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
 rounds regardless of graph diameter, each round two shuffles, expressed
 entirely as DataFrame self-aggregations (no graphframes jar needed, none
-ships in this sandbox). Node ids are the string ``url`` values; the
-component id is the lexicographic-min url of the component, which makes
-output deterministic and permutation-invariant.
+ships in this sandbox). Node ids are whatever ``id_col`` carries — the
+algorithm only needs a type with a total order. The pipeline passes
+compact ``nid`` values (int64, or a two-long struct at ``nid_bits=128``;
+``plans/pipeline.py`` ``node_id_expr``), not url strings; standalone
+callers may pass urls. The component id is the minimum id of the
+component under that order, which makes output deterministic and
+permutation-invariant.
 
 Scale notes (10^12 nodes):
 - every iteration's frontier is persisted + localCheckpoint'ed (or parquet

@@ -134,20 +134,47 @@ def resize_media(
     src = df.select("url", binary_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # stride-sampling is pure index arithmetic, vectorized like
+        # sample_frames: all payloads concatenate into one uint8 buffer,
+        # one fancy-indexed gather pulls every kept byte, and the result
+        # splits back into per-doc bytes. The only remaining per-doc work
+        # is O(n_docs) slice/tobytes calls — no per-byte Python anywhere.
         for pdf in batches:
             if real_decoder:
                 raise NotImplementedError(
                     "real media resize requires image libs not present in "
                     "this container; wire a decoder here (same batch shape)"
                 )
-            resized = pdf[binary_col].map(
-                lambda b: bytes(b[:: max(len(b) // target_len, 1)][:target_len])
+            n_docs = len(pdf)
+            payloads = pdf[binary_col].to_numpy(dtype=object)
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=n_docs
+            )
+            steps = np.maximum(lens // target_len, 1)
+            # len(b[::step][:target_len]) == min(ceil(len/step), target_len)
+            n_out = np.minimum(-(-lens // steps), target_len)
+            total = int(n_out.sum())
+            doc_of = np.repeat(np.arange(n_docs), n_out)
+            out_starts = np.zeros(n_docs, dtype=np.int64)
+            doc_starts = np.zeros(n_docs, dtype=np.int64)
+            if n_docs > 1:
+                np.cumsum(n_out[:-1], out=out_starts[1:])
+                np.cumsum(lens[:-1], out=doc_starts[1:])
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            local = np.arange(total, dtype=np.int64) - out_starts[doc_of]
+            gathered = flat[doc_starts[doc_of] + local * steps[doc_of]]
+            resized = pd.Series(
+                [
+                    gathered[out_starts[i] : out_starts[i] + n_out[i]].tobytes()
+                    for i in range(n_docs)
+                ],
+                dtype=object,
             )
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],
                     "resized": resized,
-                    "resized_len": resized.map(len).astype("int32"),
+                    "resized_len": pd.Series(n_out.astype("int32")),
                 }
             )
 

@@ -392,11 +392,25 @@ class DedupePipeline:
             return
         dup_nids = agg.filter(F.col("n") > 1).select("nid")
         flagged = sigs.join(dup_nids, "nid", "left_semi")
-        # latest crawl wins; content hash breaks exact-timestamp ties.
-        # Inputs without a timestamp column (minimal jsonl/csv) fall back
-        # to the content hash alone — still deterministic.
-        key_cols = [c for c in ("warc_ts",) if c in sigs.columns]
-        keep_key = F.struct(*[F.col(c) for c in key_cols], F.col("content_hash"))
+        # latest crawl wins; content hash breaks exact-timestamp ties;
+        # the remaining scalar metadata (source ordering, source, lang)
+        # totalizes the order so rows tying on (warc_ts, content_hash)
+        # — same crawl instant, same bytes, different ingest lineage —
+        # still pick ONE fully determined survivor (every signature
+        # column is a pure function of (url, norm), so rows equal on
+        # this key are equal on all remaining columns and the final
+        # dropDuplicates collapses true value-duplicates only).
+        # Inputs without a timestamp column (minimal jsonl/csv) fall
+        # back to the later keys alone — still deterministic.
+        keep_key = F.struct(
+            *[F.col(c) for c in ("warc_ts",) if c in sigs.columns],
+            F.col("content_hash"),
+            *[
+                F.col(c)
+                for c in ("source_order", "source", "lang")
+                if c in sigs.columns
+            ],
+        )
         winners = (
             flagged.withColumn("_k", keep_key)
             .withColumn(
@@ -454,10 +468,17 @@ class DedupePipeline:
             if stage == "pairs":
                 self._tune_shuffle_for_pairs(base_parts)
             t0 = time.time()
-            df = builders[stage]()
-            write_stage(df, self.cfg.ckpt_dir, stage)
-            if stage == "pairs":
-                self.spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+            try:
+                df = builders[stage]()
+                write_stage(df, self.cfg.ckpt_dir, stage)
+            finally:
+                # restore even when the pairs builder/write raises, so a
+                # tuned (possibly 4096) partition count never leaks into
+                # later stages or other jobs on this session
+                if stage == "pairs":
+                    self.spark.conf.set(
+                        "spark.sql.shuffle.partitions", base_parts
+                    )
             if stage == "signatures" and self.cfg.audit_ids:
                 self._audit_ids()
                 mark(self.cfg.ckpt_dir, stage, "_AUDITED")
@@ -503,11 +524,37 @@ class DedupePipeline:
             1  # exact content-hash bucket
             + (cfg.bands if cfg.enable_minhash else 0)
             + (10 if cfg.enable_simhash else 0)
-            + (80 if cfg.enable_substring else 0)
+            + (self._measured_substr_density() if cfg.enable_substring else 0)
         )
-        est_rows = n_docs * max(rows_per_doc, 1)
-        parts = min(max(int(base_parts), est_rows // 2_000_000), 4096)
+        est_rows = int(n_docs * max(rows_per_doc, 1))
+        try:
+            base = int(base_parts)
+        except (TypeError, ValueError):
+            base = self.spark.sparkContext.defaultParallelism
+        parts = min(max(base, est_rows // 2_000_000), 4096)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+
+    def _measured_substr_density(self) -> float:
+        """Winnow fingerprints/doc for the bucket-row estimate, measured
+        from the committed S1 output instead of assumed: actual density
+        is ~2·len/(w+1) — length-dependent — so a flat constant
+        undercounts long-document corpora and under-partitions the
+        job's biggest exchange. A LocalLimit-bounded sample (Spark
+        stops scanning once each task fills its quota; one small job,
+        ~10k rows) is exact enough for a partition-count decision;
+        array_distinct at explode time only shrinks it, so the estimate
+        errs safely high."""
+        try:
+            row = (
+                read_stage(self.spark, self.cfg.ckpt_dir, "signatures")
+                .select(F.size("substr_fp").alias("s"))
+                .limit(10_000)
+                .agg(F.avg("s"))
+                .first()
+            )
+            return float(row[0]) if row and row[0] is not None else 80.0
+        except Exception:
+            return 80.0  # column absent / unreadable — prior round's flat prior
 
     # ------------------------------------------------------------- accessors
 

