@@ -19,8 +19,20 @@ computes, at ANY scale the input exists at:
 
   recall = |truth ∩ engine| / |truth|, overall and per truth kind.
 
-Usage: python tools/truth_recall.py INPUT_PARQUET CKPT_DIR [threshold]
+Usage: python tools/truth_recall.py INPUT_PARQUET CKPT_DIR [threshold] [cap]
 Prints one JSON line.
+
+``cap`` (default 0 = off) bounds the per-cluster member count the
+ORACLE enumerates: clusters larger than cap keep their cap
+lowest-xxhash64(url) members (deterministic), and recall is computed
+over pairs within that subset. This exists because the brute-force
+truth-pair check is quadratic in cluster size — the 16 M input's hot
+template cluster has ~80 k members = 3.2 G truth pairs, infeasible to
+enumerate on one box even though the ENGINE handles the cluster fine
+(star-shaped buckets keep its edge count linear). A hash-ordered member
+subset is statistically a uniform sample of the cluster, so
+intra-subset pairs are an unbiased sample of intra-cluster pairs; the
+output records cap so sampled points are labeled as such.
 """
 
 from __future__ import annotations
@@ -35,6 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     inp, ckpt = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 0.8
+    cap = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     from pyspark.sql import functions as F
 
@@ -60,6 +73,19 @@ def main() -> int:
         )
         .join(comp, "url")
     )
+    if cap:
+        from pyspark.sql import Window
+
+        members = (
+            members.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("truth_cluster").orderBy(F.xxhash64("url"))
+                ),
+            )
+            .filter(F.col("_rk") <= cap)
+            .drop("_rk")
+        )
     # intra-cluster self-join: cluster sizes are bounded (blocks ≤ 8;
     # the hot template cluster is n_docs/hot_every), so the pair count
     # is ~m²/2 on the hot cluster and tiny elsewhere.
@@ -105,6 +131,7 @@ def main() -> int:
             {
                 "input": inp,
                 "threshold": threshold,
+                "cluster_cap": cap or None,
                 "truth_pairs": total_t,
                 "found_pairs": total_f,
                 "recall": round(total_f / total_t, 6) if total_t else None,
