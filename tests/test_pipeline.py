@@ -391,3 +391,36 @@ def test_recrawl_duplicates_collapse_to_latest(spark, tmp_path):
     # resume skips the stage but never re-collapses or aborts
     report2 = DedupePipeline(spark, cfg).run()
     assert report2["signatures"].get("skipped")
+
+
+def test_recrawl_tie_on_ts_and_hash_picks_deterministic_survivor(spark, tmp_path):
+    """Round-3 advisory: rows tying on (warc_ts, content_hash) — same
+    crawl instant, same bytes — can still differ in ingest lineage
+    (source, source_order, lang); the collapse keep-key now totalizes
+    over those too, so the survivor is fully determined (max
+    source_order here), not whichever row dropDuplicates happened to
+    see first. Run the audit twice from scratch and demand the same
+    survivor both times."""
+    base = generate_pages(spark, GenConfig(n_docs=60, seed=11), partitions=3)
+    victim = base.orderBy("url").limit(1)
+    victim_url = victim.collect()[0]["url"]
+    dup_a = victim.withColumn("source", F.lit("src90")).withColumn(
+        "source_order", F.lit(90)
+    )
+    dup_b = victim.withColumn("source", F.lit("src95")).withColumn(
+        "source_order", F.lit(95)
+    )
+    rest = base.join(victim.select("url"), "url", "left_anti")
+    inp = str(tmp_path / "pages")
+    rest.unionByName(dup_a).unionByName(dup_b).write.mode("overwrite").parquet(inp)
+
+    for sub in ("ckpt1", "ckpt2"):
+        cfg = PipelineConfig(
+            input_path=inp, ckpt_dir=str(tmp_path / sub), bucket_cap=64
+        )
+        DedupePipeline(spark, cfg).run()
+        sigs = spark.read.parquet(f"{tmp_path / sub}/signatures")
+        assert sigs.count() == 60
+        win = sigs.filter(F.col("url") == victim_url).collect()
+        assert len(win) == 1
+        assert win[0]["source"] == "src95" and win[0]["source_order"] == 95
