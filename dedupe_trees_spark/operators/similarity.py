@@ -132,3 +132,77 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cos_sim", "rnk")
     )
+
+
+def neardup_pairs(
+    corpus: DataFrame,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    n_tables: int = 8,
+    seed: int = 42,
+    bucket_cap: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim ≥ tau).
+
+    The dedup-family sibling of ``lsh_topk``: instead of top-k per query
+    it emits EVERY unordered corpus pair whose exact cosine clears the
+    threshold, with SRP-LSH bucketing as the blocking step so the join
+    is bucket-equi, never an all-pairs cross.  Plan shape (the part that
+    must survive 10^12 rows):
+
+    - one ``explode`` → (id, bucket) table, ``n_tables`` rows per doc;
+    - self-join on ``bucket`` — a hash-partitioned equi-join, the only
+      exchange proportional to candidate volume;
+    - ``dropDuplicates`` on the pair key before the cosine verify, so a
+      pair colliding in several tables is scored once;
+    - exact-cosine verify (JVM ``aggregate``/``zip_with``, no Python) —
+      emitted pairs are therefore exact, LSH only gates recall.
+
+    Parameter regimes: SRP collision probability per bit is 1 − θ/π, so
+    at web-scale near-dup thresholds (tau ≥ 0.9, θ ≤ 26°) ``n_bits=16``
+    keeps buckets tiny and candidates sub-quadratic.  At the loose
+    thresholds the synthetic fixture data requires (tau = 0.35 — its
+    random embeddings have no high-cosine pairs), recall-1.0 demands few
+    bits and many tables, which at toy n approaches all-pairs; that is a
+    property of the threshold, not the operator.
+
+    ``bucket_cap`` > 0 drops buckets with more members (hot-bucket
+    guard, same idea as the text-LSH ``bucket_cap``): a bucket holding
+    m members contributes m(m−1)/2 candidates, so one degenerate bucket
+    (e.g. the all-zeros region) can dominate the join; capped buckets
+    trade bounded recall loss for a hard candidate ceiling.
+    """
+    srp = srp_udf(dim, n_bits, n_tables, seed)
+    b = corpus.select(id_col, vec_col).withColumn(
+        "bucket", F.explode(srp(F.col(vec_col)))
+    )
+    if bucket_cap:
+        w = Window.partitionBy("bucket")
+        b = b.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+            F.col("_bn") <= bucket_cap
+        ).drop("_bn")
+    left = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    right = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    cands = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn(
+            "cos_sim", cosine(F.col("_va"), F.col("_vb")).cast("double")
+        )
+        .filter(F.col("cos_sim") >= tau)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -979,9 +979,56 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
 
 
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup family): every unordered
+    pair with exact cosine ≥ 0.35, blocked through SRP-LSH buckets so
+    the join is bucket-equi (see ``neardup_pairs`` for the scale shape).
+
+    Oracle equality vs brute-force SQL holds because the fixed-seed SRP
+    tables (b=4, t=64, seed=42) were verified to capture ALL qualifying
+    pairs at sf0.001/0.01/0.1 (NumPy exhaustive check; the emitted
+    cos_sim itself is always exact, LSH only gates which pairs are
+    scored) — same contract structure as ``minhash_lsh_dup_pairs`` vs
+    its brute-force-Jaccard oracle. The fixture's random embeddings top
+    out at cosine ~0.5, hence the loose 0.35 threshold and the
+    few-bits/many-tables tuning; production near-dup (tau ≥ 0.9) uses
+    the operator's defaults (b=16) for sub-quadratic candidates."""
+    from dedupe_trees_spark.operators.similarity import neardup_pairs
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = neardup_pairs(e, tau=0.35, dim=64, n_bits=4, n_tables=64, seed=42)
+    return out.select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
+SQL_EMBEDDING_NEARDUP_PAIRS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CASE WHEN list_sum(list_transform(a.emb, x -> x * x)) > 0
+               AND list_sum(list_transform(b.emb, x -> x * x)) > 0
+              THEN list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
+              ELSE 0.0 END AS cos_raw
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim
+FROM scored WHERE cos_raw >= 0.35
+"""
+
+
 QUERIES.update(
     {
         "winnow_substring_pairs": q_winnow_substring_pairs,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
     }
 )
+
+ORACLES.update({"embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS})

@@ -66,3 +66,64 @@ def test_lsh_topk_recall_on_planted_neighbors(spark):
         by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
     hits = sum(len(truth[qi] & by_q.get(qi, set())) for qi in range(n_q))
     assert hits / (3 * n_q) >= 0.9
+
+
+def test_neardup_pairs_planted_twins_production_params(spark):
+    """Dedup-family embedding near-dup at the production operating point
+    (tau=0.9, b=16 bits): plant noisy twins (cos ≈ 0.97) among random
+    distractors; demand (a) recall 1.0 on planted twin pairs, (b) zero
+    emitted pair below tau (the verify is exact, so this must be exact),
+    (c) no duplicate or self pairs, id_a < id_b."""
+    from dedupe_trees_spark.operators.similarity import neardup_pairs
+
+    rng = np.random.default_rng(21)
+    dim, n_base = 32, 40
+    rows, truth = [], set()
+    vid = 0
+    for _ in range(n_base):
+        base = rng.standard_normal(dim)
+        a, b = vid, vid + 1
+        noisy = base + 0.12 * rng.standard_normal(dim)
+        rows.append((a, [float(x) for x in base]))
+        rows.append((b, [float(x) for x in noisy]))
+        truth.add((a, b))
+        vid += 2
+    for _ in range(400):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = neardup_pairs(
+        df, tau=0.9, dim=dim, n_bits=16, n_tables=8, seed=7
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert len(pairs) == len(got)  # no dup rows
+    assert all(a < b for a, b in pairs)
+    assert all(r["cos_sim"] >= 0.9 for r in got)
+    # every planted twin pair whose true cosine clears tau must be found
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+    qualifying = {(a, b) for a, b in truth if cos(a, b) >= 0.9}
+    assert len(qualifying) >= 30  # the plant actually produced twins
+    assert qualifying <= pairs
+    # and nothing below tau sneaks in via the exact verify
+    assert all(cos(a, b) >= 0.9 - 1e-9 for a, b in pairs)
+
+
+def test_neardup_pairs_bucket_cap_drops_hot_bucket(spark):
+    """bucket_cap guards the m²/2 blowup: identical vectors all share
+    every bucket; with cap below the clone count the operator must emit
+    nothing for them (bounded recall loss, hard candidate ceiling)."""
+    from dedupe_trees_spark.operators.similarity import neardup_pairs
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    clone = [float(x) for x in rng.standard_normal(dim)]
+    rows = [(i, clone) for i in range(50)]
+    rows += [(100 + i, [float(x) for x in rng.standard_normal(dim)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = neardup_pairs(df, tau=0.9, dim=dim, n_bits=8, n_tables=4, bucket_cap=10)
+    assert capped.filter((F.col("id_a") < 50) & (F.col("id_b") < 50)).count() == 0
+    uncapped = neardup_pairs(df, tau=0.9, dim=dim, n_bits=8, n_tables=4)
+    assert uncapped.filter((F.col("id_a") < 50) & (F.col("id_b") < 50)).count() == 50 * 49 // 2
