@@ -42,6 +42,20 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from vectors plus their PRE-COMPUTED L2 norms.
+
+    ``cosine()`` re-aggregates both norms per evaluation; fine for a
+    per-doc projection, ruinous per candidate pair (the norm pass must
+    be linear in docs, not in candidate volume). Callers project
+    ``l2_norm`` as a plain double column BEFORE the candidate join —
+    the shuffle materializes it, so Catalyst cannot collapse the norm
+    aggregate back into the per-pair projection (the known
+    higher-order-lambda projection-collapse trap)."""
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,14 +70,20 @@ def brute_force_topk(
     corpus is never shuffled, only scanned.
     """
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q)).filter(
-        F.col(id_col) != F.col(query_id_col)
+    scored = (
+        corpus.select(id_col, vec_col, l2_norm(F.col(vec_col)).alias("_cn"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
     )
     scored = scored.withColumn(
         "cos_sim",
-        cosine(F.col("_qvec"), F.col(vec_col)).cast("double"),
+        cosine_prenormed(
+            F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
+        ).cast("double"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
@@ -110,11 +130,13 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: SRP bucket candidates, exact cosine re-rank."""
     srp = srp_udf(dim, n_bits, n_tables, seed)
-    c = corpus.select(id_col, vec_col).withColumn(
-        "bucket", F.explode(srp(F.col(vec_col)))
-    )
+    c = corpus.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("_cn")
+    ).withColumn("bucket", F.explode(srp(F.col(vec_col))))
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     ).withColumn("bucket", F.explode(srp(F.col("_qvec"))))
     # queries are tiny by construction — broadcast so the corpus-side
     # bucket table is never shuffled for this join
@@ -124,7 +146,10 @@ def lsh_topk(
         .dropDuplicates([query_id_col, id_col])
     )
     scored = cands.withColumn(
-        "cos_sim", cosine(F.col("_qvec"), F.col(vec_col)).cast("double")
+        "cos_sim",
+        cosine_prenormed(
+            F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
+        ).cast("double"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
@@ -176,9 +201,9 @@ def neardup_pairs(
     trade bounded recall loss for a hard candidate ceiling.
     """
     srp = srp_udf(dim, n_bits, n_tables, seed)
-    b = corpus.select(id_col, vec_col).withColumn(
-        "bucket", F.explode(srp(F.col(vec_col)))
-    )
+    b = corpus.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("_nrm")
+    ).withColumn("bucket", F.explode(srp(F.col(vec_col))))
     if bucket_cap:
         w = Window.partitionBy("bucket")
         b = b.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
@@ -188,11 +213,13 @@ def neardup_pairs(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
     right = b.select(
         F.col("bucket"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     cands = (
         left.join(right, "bucket")
@@ -201,7 +228,10 @@ def neardup_pairs(
     )
     return (
         cands.withColumn(
-            "cos_sim", cosine(F.col("_va"), F.col("_vb")).cast("double")
+            "cos_sim",
+            cosine_prenormed(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).cast("double"),
         )
         .filter(F.col("cos_sim") >= tau)
         .select("id_a", "id_b", "cos_sim")
