@@ -979,6 +979,21 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via an IVF-Flat inverted index (partition-based
+    scale path; the SRP-LSH path is ``embedding_lsh_topk``). Rows-only
+    check; the containment oracle asserts every returned cos_sim equals
+    the exact cosine, and planted-neighbor recall is pytest-asserted."""
+    from dedupe_trees_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_topk(e, q, k=5, n_cells=16, nprobe=4)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk")
+
+
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup family): every unordered
     pair with exact cosine ≥ 0.35, blocked through SRP-LSH buckets so
@@ -1027,6 +1042,7 @@ QUERIES.update(
     {
         "winnow_substring_pairs": q_winnow_substring_pairs,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
     }
 )

@@ -127,3 +127,43 @@ def test_neardup_pairs_bucket_cap_drops_hot_bucket(spark):
     assert capped.filter((F.col("id_a") < 50) & (F.col("id_b") < 50)).count() == 0
     uncapped = neardup_pairs(df, tau=0.9, dim=dim, n_bits=8, n_tables=4)
     assert uncapped.filter((F.col("id_a") < 50) & (F.col("id_b") < 50)).count() == 50 * 49 // 2
+
+
+def test_ivf_topk_recall_on_planted_neighbors(spark):
+    """IVF-Flat sibling of the SRP recall test: plant 3 noisy copies
+    (cos ≈ 0.95) of each query among random distractors; nprobe cells
+    must recover them. Also pins determinism: two runs, same result."""
+    from dedupe_trees_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(8)
+    dim, n_q = 16, 10
+    bases = rng.standard_normal((n_q, dim)).astype(np.float64)
+    rows, truth = [], {}
+    vid = 100
+    for qi in range(n_q):
+        rows.append((qi, [float(x) for x in bases[qi]]))
+        truth[qi] = set()
+        for _ in range(3):
+            noisy = bases[qi] + 0.18 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in noisy]))
+            truth[qi].add(vid)
+            vid += 1
+    for _ in range(300):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < n_q)
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["rnk"])
+        for r in ivf_topk(df, q, k=3, n_cells=12, nprobe=4).collect()
+    )
+    by_q = {}
+    for qid, vid2, _ in got:
+        by_q.setdefault(qid, set()).add(vid2)
+    hits = sum(len(truth[qi] & by_q.get(qi, set())) for qi in range(n_q))
+    assert hits / (3 * n_q) >= 0.9
+    again = sorted(
+        (r["query_id"], r["vec_id"], r["rnk"])
+        for r in ivf_topk(df, q, k=3, n_cells=12, nprobe=4).collect()
+    )
+    assert got == again

@@ -146,6 +146,10 @@ CONTAINMENT = {
     "simhash_dup_pairs": _contain_simhash,
     "winnow_substring_pairs": _contain_winnow,
     "embedding_lsh_topk": _contain_lsh_topk,
+    # same output shape + same invariant (returned cos_sim must equal
+    # the exact cosine) — IVF differs from SRP-LSH only in WHICH
+    # neighbors it can miss, never in the values it emits
+    "embedding_ivf_topk": _contain_lsh_topk,
 }
 
 
