@@ -79,3 +79,37 @@ def test_signature_stage_never_scans_html(spark, tmp_path):
     plan = pipe._build_signatures()._jdf.queryExecution().toString()
     read_schema = next(l for l in plan.split("\n") if "ReadSchema" in l)
     assert "html" not in read_schema                     # binary column pruned at scan
+
+
+def test_ivf_topk_corpus_never_shuffled(spark):
+    """IVF scale shape: the query/probe side is broadcast, so the only
+    join is a BroadcastHashJoin on cell id — the corpus is scanned, not
+    exchanged. A hash-partition exchange of the corpus here would move
+    the full embedding table at 10^12 rows."""
+    plan = _executed_plan(Q.QUERIES["embedding_ivf_topk"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    join_half = plan.split("BroadcastHashJoin")[0] if "BroadcastHashJoin" in plan else plan
+    # the corpus side below the join must not hash-partition the
+    # embedding column; the only hashpartitioning allowed is the
+    # dropDuplicates/window AFTER candidates are formed (tiny)
+    pre_join = plan.split("BroadcastExchange")[-1]
+    assert "embedding" not in "".join(
+        l for l in pre_join.split("\n") if "Exchange hashpartitioning" in l
+    )
+
+
+def test_neardup_pairs_single_bucket_join_and_pair_dedup(spark):
+    """neardup_pairs plan: the self-join keys on bucket (hash equi-join,
+    candidate-proportional), pair dedup happens BEFORE the cosine
+    verify, and norms ride the shuffle as plain doubles (no norm
+    re-aggregation per pair — the per-pair projection must not contain
+    an `aggregate(` over the vector for the norm)."""
+    plan = _executed_plan(Q.QUERIES["embedding_neardup_pairs"](spark, SF_DIR))
+    assert "HashAggregate" in plan or "SortAggregate" in plan  # dropDuplicates
+    # the verify projection computes ONE aggregate (the dot product);
+    # a second aggregate over _va/_vb would be a norm recomputation
+    verify_lines = [
+        l for l in plan.split("\n") if "cos_sim" in l and "aggregate" in l
+    ]
+    for l in verify_lines:
+        assert l.count("aggregate(") <= 2  # dot = zip_with + aggregate, once
