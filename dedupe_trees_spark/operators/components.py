@@ -89,26 +89,43 @@ def connected_components(
     b: str = "url_b",
     max_iter: int = 50,
     ckpt_dir: str | None = None,
+    local_ckpt_max_edges: int = 20_000_000,
 ) -> DataFrame:
     """Edge list → (url, component_id) for every node that has an edge.
 
     Nodes with no edges are absent; callers union them back with
     component_id = their own id (see ``assign_components``).
+
+    Per-round lineage cuts are SIZE-AWARE: once the edge count is known
+    (the convergence signature counts it anyway, so this is free), edge
+    sets at or below ``local_ckpt_max_edges`` use ``localCheckpoint``
+    (executor memory/disk, ~zero fixed cost) and only larger sets pay
+    the parquet write+read round trip. Rationale: the per-round parquet
+    commit is pure fixed latency that dominates this stage on small-to-
+    medium graphs (it is the measured Amdahl tail of the whole job at
+    1M docs — BENCH/BASELINE.md), while at the 10^12-doc design point
+    parquet is mandatory because localCheckpoint truncates lineage
+    WITHOUT fault tolerance: a lost executor would kill the job rather
+    than recompute. 20M edges (~a few hundred MB cached) keeps the
+    non-replayable window to runs that finish in seconds anyway.
+    ``ckpt_dir=None`` keeps the old always-local behavior.
     """
     spark = edges.sparkSession
     cur = _canonical_edges(edges, a, b)
     if ckpt_dir is not None:
-        # parquet-backed everywhere when a checkpoint dir exists: nothing
-        # stays cached in executor memory after the job (cache hygiene)
+        # first materialization: size unknown until after this commit,
+        # so the init round always goes to parquet (cheap: it also
+        # absorbs the canonicalization dedup shuffle)
         path = f"{ckpt_dir}/cc_iter_init"
         cur.write.mode("overwrite").parquet(path)
         cur = spark.read.parquet(path)
     else:
         cur = cur.localCheckpoint(eager=True)
     sig = _signature(cur)
+    local_ok = sig[0] <= local_ckpt_max_edges
     for it in range(max_iter):
         nxt = _small_star(_large_star(cur))
-        if ckpt_dir is not None:
+        if ckpt_dir is not None and not local_ok:
             path = f"{ckpt_dir}/cc_iter_{it}"
             nxt.write.mode("overwrite").parquet(path)
             nxt = spark.read.parquet(path)
@@ -120,6 +137,10 @@ def connected_components(
         if nsig == sig:
             break
         sig = nsig
+        # star-contraction never grows the edge set after round 1, so
+        # once small, always small; re-check anyway in case round 1
+        # symmetrization briefly peaked above the threshold
+        local_ok = local_ok or sig[0] <= local_ckpt_max_edges
     else:
         raise RuntimeError(f"connected_components failed to converge in {max_iter} iterations")
 
