@@ -48,6 +48,14 @@ class PipelineConfig:
     # with identical canonical output. True only pays off below ~10^5 docs,
     # where the extra verify-time UDF pass outweighs the smaller S1 write.
     store_shingles: bool = False
+    # pairs-stage scratch intermediates (candidate pairs, candidate
+    # shingle sets — each read by 2+ downstream consumers) spill to
+    # parquet above this doc count, localCheckpoint at or below it:
+    # the parquet round trips are pure fixed commit latency on small-to-
+    # medium corpora, while at the 10^12-doc design point parquet is
+    # mandatory (localCheckpoint is not fault-tolerant; a lost executor
+    # would fail the stage instead of recomputing). 0 = always parquet.
+    scratch_local_max_docs: int = 4_000_000
     # resolution (reference resolver chain, R4–R8 analogues)
     resolvers: tuple = ("source_order", "path_depth", "copy_pattern", "mod_date", "arbitrary")
     # execution

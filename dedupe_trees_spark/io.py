@@ -98,3 +98,23 @@ def marked(ckpt_dir: str, stage: str, name: str) -> bool:
     if fs is not None:
         return fs.exists(p)
     return os.path.exists(target)
+
+
+def local_ckpt(df):
+    """``df.localCheckpoint(eager=True)`` plus handles to the RDDs it
+    actually pinned. ``DataFrame.unpersist()`` only talks to the SQL
+    CacheManager and is a NO-OP for localCheckpoint's RDD-level blocks,
+    so callers that must release them (cache hygiene is a tested
+    pipeline invariant) need the JavaRDD handles: diff the persistent-
+    RDD map around the checkpoint call (the driver is single-threaded —
+    nothing else persists concurrently). Returns (checkpointed_df,
+    [handles]); call ``h.unpersist()`` on each handle once every
+    consumer has materialized (the lineage is truncated: blocks dropped
+    earlier are unrecomputable and later reads fail)."""
+    spark = df.sparkSession
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    jmap = jsc.getPersistentRDDs()
+    handles = [jmap.get(k) for k in jmap.keySet().toArray() if k not in before]
+    return out, handles

@@ -90,11 +90,20 @@ def connected_components(
     max_iter: int = 50,
     ckpt_dir: str | None = None,
     local_ckpt_max_edges: int = 20_000_000,
+    pins: list | None = None,
 ) -> DataFrame:
     """Edge list → (url, component_id) for every node that has an edge.
 
     Nodes with no edges are absent; callers union them back with
     component_id = their own id (see ``assign_components``).
+
+    ``pins``: when given, the JavaRDD handles backing the final
+    converged frame (when it was localCheckpointed) are appended there
+    so the caller can release them AFTER materializing the result —
+    the returned DataFrame reads those cached blocks, and with lineage
+    truncated, blocks dropped earlier are unrecomputable. Without
+    ``pins`` the final frame stays persisted (standalone callers that
+    consume the result lazily).
 
     Per-round lineage cuts are SIZE-AWARE: once the edge count is known
     (the convergence signature counts it anyway, so this is free), edge
@@ -110,8 +119,11 @@ def connected_components(
     non-replayable window to runs that finish in seconds anyway.
     ``ckpt_dir=None`` keeps the old always-local behavior.
     """
+    from dedupe_trees_spark.io import local_ckpt
+
     spark = edges.sparkSession
     cur = _canonical_edges(edges, a, b)
+    cur_handles: list = []
     if ckpt_dir is not None:
         # first materialization: size unknown until after this commit,
         # so the init round always goes to parquet (cheap: it also
@@ -120,20 +132,25 @@ def connected_components(
         cur.write.mode("overwrite").parquet(path)
         cur = spark.read.parquet(path)
     else:
-        cur = cur.localCheckpoint(eager=True)
+        cur, cur_handles = local_ckpt(cur)
     sig = _signature(cur)
     local_ok = sig[0] <= local_ckpt_max_edges
     for it in range(max_iter):
         nxt = _small_star(_large_star(cur))
+        nxt_handles: list = []
         if ckpt_dir is not None and not local_ok:
             path = f"{ckpt_dir}/cc_iter_{it}"
             nxt.write.mode("overwrite").parquet(path)
             nxt = spark.read.parquet(path)
         else:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt, nxt_handles = local_ckpt(nxt)
         nsig = _signature(nxt)
-        cur.unpersist()
-        cur = nxt
+        # release the previous round's blocks (RDD-level handles —
+        # DataFrame.unpersist is a no-op for localCheckpoint data);
+        # safe mid-loop because nxt is already eagerly materialized
+        for h in cur_handles:
+            h.unpersist()
+        cur, cur_handles = nxt, nxt_handles
         if nsig == sig:
             break
         sig = nsig
@@ -150,6 +167,8 @@ def connected_components(
     roots = cur.select(F.col("v").alias("url"), F.col("v").alias("component_id")).dropDuplicates(
         ["url"]
     )
+    if pins is not None:
+        pins.extend(cur_handles)
     return leaves.unionByName(roots).dropDuplicates(["url"])
 
 
@@ -161,9 +180,12 @@ def assign_components(
     b: str = "url_b",
     max_iter: int = 50,
     ckpt_dir: str | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """All nodes → (id_col, component_id); isolated nodes are singletons."""
-    cc = connected_components(edges, a=a, b=b, max_iter=max_iter, ckpt_dir=ckpt_dir)
+    cc = connected_components(
+        edges, a=a, b=b, max_iter=max_iter, ckpt_dir=ckpt_dir, pins=pins
+    )
     cc = cc.withColumnRenamed("url", id_col)
     return (
         nodes.select(id_col)

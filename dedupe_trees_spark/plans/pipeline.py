@@ -82,6 +82,10 @@ class DedupePipeline:
     def __init__(self, spark: SparkSession, cfg: PipelineConfig):
         self.spark = spark
         self.cfg = cfg
+        # JavaRDD handles of localCheckpointed intra-stage intermediates
+        # awaiting release (see _spill / io.local_ckpt); drained by
+        # run() after each stage commit
+        self._pins: list = []
 
     # ---------------------------------------------------------------- stages
 
@@ -142,9 +146,46 @@ class DedupePipeline:
     # bucket-provenance bit flags (candidate_pairs bit_or's them per pair)
     SRC_MINHASH, SRC_SIMHASH, SRC_SUBSTR, SRC_EXACT = 1, 2, 4, 8
 
+    def _sig_doc_count(self) -> int:
+        """Doc count from the committed S1 lineage manifests (parquet
+        footer metadata — no scan); 0 when unavailable."""
+        try:
+            from dedupe_trees_spark.plans.lineage import _file_rows
+
+            return sum(
+                n for _, n in _file_rows(f"{self.cfg.ckpt_dir}/signatures")
+            )
+        except Exception:
+            return 0
+
+    def _spill(self, df: DataFrame, path: str, small: bool) -> DataFrame:
+        """Materialize an intra-stage intermediate consumed by 2+
+        downstream operators. Small corpora localCheckpoint (the parquet
+        write+read is pure fixed latency there — the pairs stage pays it
+        twice); large ones spill to parquet scratch, which survives
+        executor loss and keeps nothing pinned in executor memory
+        (see ``PipelineConfig.scratch_local_max_docs``). Local frames
+        are pinned in ``self._pins`` (as JavaRDD handles — see
+        ``io.local_ckpt`` for why DataFrame.unpersist can't do it) and
+        released by ``run()`` once the owning stage commits — cache
+        hygiene is a tested invariant (no persisted RDDs may outlive
+        the pipeline), and the blocks must NOT be dropped earlier: a
+        localCheckpoint truncates lineage, so unpersisting before the
+        consumer materializes would make the data unrecomputable."""
+        if small:
+            from dedupe_trees_spark.io import local_ckpt
+
+            df, handles = local_ckpt(df)
+            self._pins.extend(handles)
+            return df
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
     def _build_pairs(self) -> DataFrame:
         cfg = self.cfg
         sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
+        n_docs = self._sig_doc_count()
+        scratch_local = 0 < n_docs <= cfg.scratch_local_max_docs
 
         # FUSED candidate generation: ALL FOUR generators' buckets go
         # through ONE candidate_pairs pass — one bucket-count window, one
@@ -216,10 +257,10 @@ class DedupePipeline:
             fused, id_col="nid", cap=cfg.bucket_cap, star_srcs=self.SRC_EXACT
         )
         # cands feeds the edge assembly AND the candidate-nid list for
-        # the sets semi-filter — spill to parquet scratch so neither
-        # re-runs candidate generation
-        cands.write.mode("overwrite").parquet(f"{scratch}/cands")
-        cands = self.spark.read.parquet(f"{scratch}/cands")
+        # the sets semi-filter — materialize so neither re-runs
+        # candidate generation (parquet vs localCheckpoint per corpus
+        # size; see _spill)
+        cands = self._spill(cands, f"{scratch}/cands", scratch_local)
 
         # Edge assembly is ONE flow: every candidate pair is classified
         # by a single CASE over its provenance bits + exact-Jaccard /
@@ -271,10 +312,8 @@ class DedupePipeline:
                     ),
                     *sim_cols,
                 )
-            # spilled to parquet scratch: two join consumers (a/b side),
-            # nothing cached
-            sets.write.mode("overwrite").parquet(f"{scratch}/sets")
-            sets = self.spark.read.parquet(f"{scratch}/sets")
+            # two join consumers (a/b side) — materialize once
+            sets = self._spill(sets, f"{scratch}/sets", scratch_local)
             a_side = sets.select(
                 F.col("nid").alias("url_a"),
                 F.col("shingles").alias("_set_a"),
@@ -330,6 +369,7 @@ class DedupePipeline:
         return assign_components(
             sigs.select("nid"), pairs, id_col="nid",
             ckpt_dir=f"{cfg.ckpt_dir}/_cc_work",
+            pins=self._pins,
         )
 
     def _build_canonical(self) -> DataFrame:
@@ -482,6 +522,11 @@ class DedupePipeline:
             if stage == "signatures" and self.cfg.audit_ids:
                 self._audit_ids()
                 mark(self.cfg.ckpt_dir, stage, "_AUDITED")
+            # the stage's parquet commit has materialized everything —
+            # release any localCheckpoint blocks its builder pinned
+            for pinned in self._pins:
+                pinned.unpersist()
+            self._pins.clear()
             wall_ms = (time.time() - t0) * 1000
             report[stage] = record_stage(self.spark, self.cfg.ckpt_dir, stage, wall_ms)
             report[stage]["record_ms"] = round((time.time() - t0) * 1000 - wall_ms, 1)

@@ -67,7 +67,15 @@ def main() -> int:
     t0 = time.time()
     while proc.poll() is None and time.time() - t0 < 3600:
         sig_done = os.path.exists(f"{ckpt_a}/signatures/_SUCCESS")
-        pairs_started = os.path.exists(f"{ckpt_a}/_scratch")
+        # pairs is underway once signatures is committed AND audited
+        # (the audit marker is the last signatures-stage artifact; the
+        # run proceeds straight into the pairs builder after it). The
+        # old probe watched for the _scratch dir, which small corpora
+        # no longer create (scratch_local_max_docs localCheckpoints
+        # intra-stage intermediates instead of spilling parquet).
+        pairs_started = sig_done and os.path.exists(
+            f"{ckpt_a}/signatures/_AUDITED"
+        )
         pairs_done = os.path.exists(f"{ckpt_a}/pairs/_SUCCESS")
         if sig_done and pairs_started and not pairs_done:
             # settle ~3s so the kill lands well inside the pairs
