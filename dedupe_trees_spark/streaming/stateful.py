@@ -122,6 +122,13 @@ def source_dup_rate_stream(
     ``state_ttl=None`` disables the idle-source processing-time timeout
     (NoTimeout) — use in tests/availableNow runs, where timeout wake-ups
     would keep scheduling micro-batches.
+
+    ``state_ttl`` accepts ``"<n> <unit>"`` with unit in
+    {ms/millisecond(s), second(s), minute(s), hour(s), day(s), week(s)}
+    — the same surface Spark's own ``CalendarInterval`` strings cover for
+    sub-month spans (months/years are deliberately excluded: variable
+    length, and a processing-time TTL over weeks already exceeds any
+    realistic streaming state horizon). Anything else raises ValueError.
     """
     ttl_ms = _duration_ms(state_ttl) if state_ttl else 0
     stream = (
@@ -155,6 +162,7 @@ _DURATION_FACTORS = {
     "minute": 60_000, "minutes": 60_000,
     "hour": 3_600_000, "hours": 3_600_000,
     "day": 86_400_000, "days": 86_400_000,
+    "week": 604_800_000, "weeks": 604_800_000,
 }
 
 

@@ -134,3 +134,17 @@ def test_source_dup_rate_stateful_stream(spark, tmp_path):
     assert s0["total_docs"] == 4          # u1,u2 + u4,u5
     assert s0["total_dups"] == 2          # u2 (in-batch) + u4 (cross-batch)
     assert s0["batch_docs"] == 2 and s0["batch_dups"] == 1
+
+
+def test_duration_ms_units_and_errors():
+    from dedupe_trees_spark.streaming.stateful import _duration_ms
+
+    assert _duration_ms("250 ms") == 250
+    assert _duration_ms("30 seconds") == 30_000
+    assert _duration_ms("2 hours") == 7_200_000
+    assert _duration_ms("1 day") == 86_400_000
+    assert _duration_ms("2 weeks") == 2 * 604_800_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported duration unit"):
+        _duration_ms("3 months")  # variable-length: deliberately excluded
