@@ -56,6 +56,16 @@ class PipelineConfig:
     # mandatory (localCheckpoint is not fault-tolerant; a lost executor
     # would fail the stage instead of recomputing). 0 = always parquet.
     scratch_local_max_docs: int = 4_000_000
+    # where parquet-backed pairs-stage scratch lives. Default (None) =
+    # <ckpt_dir>/_scratch. Scratch is RECOMPUTABLE (candidate pairs +
+    # candidate shingle sets re-derive from the committed S1 checkpoint),
+    # so unlike stage checkpoints it has no durability requirement — on a
+    # real cluster point it at fast ephemeral storage (local SSD / NVMe
+    # scratch volumes) while ckpt_dir stays on the reliable store
+    # (S3/HDFS); a lost scratch file just re-runs the pairs stage from S1.
+    # In this sandbox it lets 16M-doc runs keep durable checkpoints on
+    # the (single) disk while scratch round-trips hit tmpfs.
+    scratch_dir: str | None = None
     # resolution (reference resolver chain, R4–R8 analogues)
     resolvers: tuple = ("source_order", "path_depth", "copy_pattern", "mod_date", "arbitrary")
     # execution
@@ -101,6 +111,11 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
         help="comma-separated resolver chain, applied in order",
     )
     p.add_argument("--no-resume", action="store_false", dest="resume")
+    p.add_argument(
+        "--scratch-dir", default=None, dest="scratch_dir",
+        help="directory for recomputable pairs-stage scratch (default "
+        "<ckpt>/_scratch); point at fast ephemeral storage on clusters",
+    )
     ns = p.parse_args(argv)
     kwargs = {
         f.name: getattr(ns, f.name)

@@ -181,28 +181,23 @@ class DedupePipeline:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
-    def _build_pairs(self) -> DataFrame:
+    def _bucket_table(self, sigs: DataFrame) -> DataFrame:
+        """FUSED candidate generation input: ALL FOUR generators' buckets
+        go through ONE candidate_pairs pass — one bucket-count window, one
+        per-bucket aggregation, one dedup — instead of separate passes
+        (round-2 shape: ~3× the full-table exchanges plus a separate
+        exact-hash groupBy over the corpus; its kernel decomposition
+        blamed exactly that fixed per-exchange latency,
+        BENCH/BASELINE.md K2). band_id namespaces keep the generators'
+        buckets disjoint: minhash [0, bands), simhash tables
+        [bands, bands+10), substr fingerprints at bands+10, exact
+        content-hash at bands+11. Per-pair provenance is a bit-OR int
+        (SRC_* flags), so the dedup stays a fixed-width partial agg.
+        Exact buckets always use star topology (star_srcs): members
+        are byte-identical, so no verification prunes their edges and
+        m−1 edges carry the component — same shape exact_edges() used
+        as a standalone stage."""
         cfg = self.cfg
-        sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
-        n_docs = self._sig_doc_count()
-        scratch_local = 0 < n_docs <= cfg.scratch_local_max_docs
-
-        # FUSED candidate generation: ALL FOUR generators' buckets go
-        # through ONE candidate_pairs pass — one bucket-count window, one
-        # per-bucket aggregation, one dedup — instead of separate passes
-        # (round-2 shape: ~3× the full-table exchanges plus a separate
-        # exact-hash groupBy over the corpus; its kernel decomposition
-        # blamed exactly that fixed per-exchange latency,
-        # BENCH/BASELINE.md K2). band_id namespaces keep the generators'
-        # buckets disjoint: minhash [0, bands), simhash tables
-        # [bands, bands+10), substr fingerprints at bands+10, exact
-        # content-hash at bands+11. Per-pair provenance is a bit-OR int
-        # (SRC_* flags), so the dedup stays a fixed-width partial agg.
-        # Exact buckets always use star topology (star_srcs): members
-        # are byte-identical, so no verification prunes their edges and
-        # m−1 edges carry the component — same shape exact_edges() used
-        # as a standalone stage.
-        scratch = f"{cfg.ckpt_dir}/_scratch"
         bucket_frames = [
             sigs.select(
                 "nid",
@@ -248,11 +243,25 @@ class DedupePipeline:
                 )
             )
 
-        # url_a/url_b column names are the pair-plumbing convention; from
-        # here on they carry compact nids, not url strings
         fused = bucket_frames[0]
         for bfr in bucket_frames[1:]:
             fused = fused.unionByName(bfr)
+        return fused
+
+    def _scratch_dir(self) -> str:
+        return self.cfg.scratch_dir or f"{self.cfg.ckpt_dir}/_scratch"
+
+    def _build_pairs(self) -> DataFrame:
+        cfg = self.cfg
+        sigs = read_stage(self.spark, cfg.ckpt_dir, "signatures")
+        n_docs = self._sig_doc_count()
+        scratch_local = 0 < n_docs <= cfg.scratch_local_max_docs
+        scratch = self._scratch_dir()
+        self.pairs_phases: dict[str, float] = {}
+
+        # url_a/url_b column names are the pair-plumbing convention; from
+        # here on they carry compact nids, not url strings
+        fused = self._bucket_table(sigs)
         cands = candidate_pairs(
             fused, id_col="nid", cap=cfg.bucket_cap, star_srcs=self.SRC_EXACT
         )
@@ -260,7 +269,9 @@ class DedupePipeline:
         # the sets semi-filter — materialize so neither re-runs
         # candidate generation (parquet vs localCheckpoint per corpus
         # size; see _spill)
+        t0 = time.time()
         cands = self._spill(cands, f"{scratch}/cands", scratch_local)
+        self.pairs_phases["cands_sec"] = round(time.time() - t0, 1)
 
         # Edge assembly is ONE flow: every candidate pair is classified
         # by a single CASE over its provenance bits + exact-Jaccard /
@@ -313,7 +324,9 @@ class DedupePipeline:
                     *sim_cols,
                 )
             # two join consumers (a/b side) — materialize once
+            t0 = time.time()
             sets = self._spill(sets, f"{scratch}/sets", scratch_local)
+            self.pairs_phases["sets_sec"] = round(time.time() - t0, 1)
             a_side = sets.select(
                 F.col("nid").alias("url_a"),
                 F.col("shingles").alias("_set_a"),
@@ -534,7 +547,17 @@ class DedupePipeline:
             # just committed — drop them so checkpoint dirs don't
             # accumulate multi-GB band/CC tables
             if stage == "pairs":
-                remove_dir(self.spark, f"{self.cfg.ckpt_dir}/_scratch")
+                # per-phase walls (cands/sets materialization inside the
+                # builder; the remainder is the verify join + final
+                # write) — the stage dominates full-job scaling, so
+                # every run reports its decomposition
+                phases = dict(getattr(self, "pairs_phases", {}))
+                if phases:
+                    phases["verify_write_sec"] = round(
+                        wall_ms / 1000 - sum(phases.values()), 1
+                    )
+                    report[stage]["phases"] = phases
+                remove_dir(self.spark, self._scratch_dir())
             elif stage == "components":
                 remove_dir(self.spark, f"{self.cfg.ckpt_dir}/_cc_work")
         return report

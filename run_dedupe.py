@@ -111,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
                 "wall_ms": round(v["wall_ms"], 1),
                 "rows_out": v["rows_out"],
                 "n_files": v["n_files"],
+                **({"phases": v["phases"]} if "phases" in v else {}),
             })
             for k, v in report.items()
         },

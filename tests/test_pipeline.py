@@ -424,3 +424,47 @@ def test_recrawl_tie_on_ts_and_hash_picks_deterministic_survivor(spark, tmp_path
         win = sigs.filter(F.col("url") == victim_url).collect()
         assert len(win) == 1
         assert win[0]["source"] == "src95" and win[0]["source_order"] == 95
+
+
+def test_scratch_dir_override_used_and_cleaned(spark, tmp_path):
+    """cfg.scratch_dir points pairs-stage scratch at separate (fast/
+    ephemeral) storage; it must actually be used — forced here by
+    scratch_local_max_docs=0 (always-parquet) — and removed once the
+    pairs stage commits, and the per-phase decomposition must land in
+    the run report."""
+    import os
+
+    inp = str(tmp_path / "pages")
+    generate_pages(spark, GenConfig(n_docs=300, seed=17), partitions=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    sc_dir = str(tmp_path / "fast_scratch")
+    cfg = PipelineConfig(
+        input_path=inp, ckpt_dir=str(tmp_path / "ckpt"),
+        bucket_cap=64, scratch_dir=sc_dir, scratch_local_max_docs=0,
+    )
+    seen = {}
+    orig = DedupePipeline._spill
+
+    def spy(self, df, path, small):
+        seen[path] = small
+        return orig(self, df, path, small)
+
+    DedupePipeline._spill = spy
+    try:
+        report = DedupePipeline(spark, cfg).run()
+    finally:
+        DedupePipeline._spill = orig
+    assert seen and all(p.startswith(sc_dir) for p in seen), seen
+    assert all(small is False for small in seen.values())  # parquet path
+    assert not os.path.exists(sc_dir)  # cleaned with the stage commit
+    phases = report["pairs"]["phases"]
+    assert {"cands_sec", "sets_sec", "verify_write_sec"} <= set(phases)
+
+
+def test_from_args_scratch_dir_roundtrip():
+    cfg = from_args(
+        ["--input", "/i", "--ckpt", "/c", "--scratch-dir", "/fast/sc"]
+    )
+    assert cfg.scratch_dir == "/fast/sc"
+    assert from_args(["--input", "/i", "--ckpt", "/c"]).scratch_dir is None
