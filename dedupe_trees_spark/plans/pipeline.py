@@ -56,6 +56,9 @@ from dedupe_trees_spark.plans.lineage import record_stage
 
 STAGES = ["signatures", "bands", "pairs", "components", "canonical"]
 
+# bucket-provenance bit flags (candidate_pairs bit_or's them per pair)
+SRC_MINHASH, SRC_SIMHASH, SRC_SUBSTR, SRC_EXACT = 1, 2, 4, 8
+
 
 def _nid64(col: str):
     """The 64-bit node-id hash. Module-level so tests can monkeypatch it
@@ -78,6 +81,237 @@ def node_id_expr(nid_bits: int):
     )
 
 
+def build_signatures(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """pages → the S1 signature relation (shared by the full pipeline and
+    the incremental-index path, which runs it over a delta batch only)."""
+    cols = ["url", "warc_ts", "text", "lang", "source", "source_order"]
+    have = set(pages.columns)
+    sel = [c for c in cols if c in have]
+    df = pages.select(*sel)
+    if "source_order" not in have and "source" in have:
+        df = df.withColumn(
+            "source_order",
+            F.regexp_extract("source", r"(\d+)$", 1).cast("int"),
+        )
+    df = df.withColumn("nid", node_id_expr(cfg.nid_bits))
+    df = df.withColumn("norm", normalize_text("text")).drop("text")
+    df = df.withColumn("content_hash", content_hash("norm")).withColumn(
+        "n_chars", F.length("norm")
+    )
+    # ONE Python round trip computes shingle sets + MinHash + SimHash
+    # (from the JVM-hashed token array — see token_hashes docstring for
+    # why shingles are mixed in NumPy, not built as strings) + winnowed
+    # substring fingerprints (from the text bytes)
+    sig = signature_struct_udf(
+        shingle_k=cfg.shingle_k,
+        num_perm=cfg.num_perm,
+        seed=cfg.minhash_seed,
+        with_simhash=cfg.enable_simhash,
+        substr_k=cfg.substring_k if cfg.enable_substring else None,
+        substr_w=cfg.substring_w if cfg.enable_substring else None,
+        with_shingles=cfg.store_shingles,
+    )
+    df = df.withColumn("_sig", sig(token_hashes("norm"), F.col("norm")))
+    df = df.withColumn("minhash", F.col("_sig.minhash")).withColumn(
+        "simhash", F.col("_sig.simhash")
+    )
+    if cfg.store_shingles:
+        df = df.withColumn("shingles", F.col("_sig.shingles"))
+    if cfg.enable_substring:
+        df = df.withColumn("substr_fp", F.col("_sig.substr_fp"))
+    df = df.drop("_sig")
+    if not cfg.enable_simhash:
+        df = df.drop("simhash")
+    # store_shingles=False keeps `norm` (3× smaller than the shingle
+    # column) so verify can re-derive sets for candidate docs only
+    return df if not cfg.store_shingles else df.drop("norm")
+
+
+def build_bucket_table(
+    sigs: DataFrame, cfg: PipelineConfig, bands_df: DataFrame | None = None
+) -> DataFrame:
+    """FUSED candidate generation input: ALL FOUR generators' buckets
+    go through ONE candidate_pairs pass — one bucket-count window, one
+    per-bucket aggregation, one dedup — instead of separate passes
+    (round-2 shape: ~3× the full-table exchanges plus a separate
+    exact-hash groupBy over the corpus; its kernel decomposition
+    blamed exactly that fixed per-exchange latency,
+    BENCH/BASELINE.md K2). band_id namespaces keep the generators'
+    buckets disjoint: minhash [0, bands), simhash tables
+    [bands, bands+10), substr fingerprints at bands+10, exact
+    content-hash at bands+11. Per-pair provenance is a bit-OR int
+    (SRC_* flags), so the dedup stays a fixed-width partial agg.
+    Exact buckets always use star topology (star_srcs): members
+    are byte-identical, so no verification prunes their edges and
+    m−1 edges carry the component — same shape exact_edges() used
+    as a standalone stage. ``bands_df`` lets the pipeline pass its
+    checkpointed band table; None derives bands inline."""
+    bucket_frames = [
+        sigs.select(
+            "nid",
+            F.lit(cfg.bands + 11).alias("band_id"),
+            F.col("content_hash").alias("band_hash"),
+            F.lit(SRC_EXACT).alias("src"),
+        )
+    ]
+    if cfg.enable_minhash:
+        if bands_df is None:
+            bands_df = explode_bands(
+                sigs, sig_col="minhash", id_col="nid",
+                bands=cfg.bands, rows=cfg.rows_per_band,
+            )
+        bucket_frames.append(
+            bands_df.select(
+                "nid", "band_id", "band_hash",
+                F.lit(SRC_MINHASH).alias("src"),
+            )
+        )
+    if cfg.enable_simhash:
+        from dedupe_trees_spark.operators.simhash_join import explode_block_keys
+
+        keys = explode_block_keys(
+            sigs.select("nid", "simhash"),
+            sim_col="simhash", id_col="nid",
+            max_hamming=cfg.simhash_max_hamming,
+        )
+        bucket_frames.append(
+            keys.select(
+                "nid",
+                (F.col("band_id") + F.lit(cfg.bands)).alias("band_id"),
+                "band_hash",
+                F.lit(SRC_SIMHASH).alias("src"),
+            )
+        )
+    if cfg.enable_substring:
+        bucket_frames.append(
+            sigs.select(
+                "nid",
+                F.lit(cfg.bands + 10).alias("band_id"),
+                F.explode(F.array_distinct("substr_fp")).alias("band_hash"),
+                F.lit(SRC_SUBSTR).alias("src"),
+            )
+        )
+
+    fused = bucket_frames[0]
+    for bfr in bucket_frames[1:]:
+        fused = fused.unionByName(bfr)
+    return fused
+
+
+def score_candidates(
+    cands: DataFrame,
+    sigs: DataFrame,
+    cfg: PipelineConfig,
+    spill=None,
+) -> DataFrame:
+    """Classify + verify candidate pairs → (url_a, url_b, kind, score).
+
+    Edge assembly is ONE flow: every candidate pair is classified
+    by a single CASE over its provenance bits + exact-Jaccard /
+    Hamming scores, strongest evidence first (exact > minhash >
+    simhash > substr — the same priority the former per-generator
+    union resolved with a min_by groupBy; with one row in and at
+    most one row out per pair, that final full-pair exchange is
+    gone). Approximation can only lose pairs, never admit false
+    ones: minhash/simhash-proposed pairs still require exact
+    J ≥ threshold (simhash-only additionally Hamming ≤ max).
+
+    ``spill(df, name) -> DataFrame`` materializes the candidate
+    shingle-set relation (read by both join sides); None skips the
+    materialization (fine for small standalone calls).
+    """
+    is_ex = F.col("srcs").bitwiseAND(F.lit(SRC_EXACT)) != 0
+    is_mh = F.col("srcs").bitwiseAND(F.lit(SRC_MINHASH)) != 0
+    is_sh = F.col("srcs").bitwiseAND(F.lit(SRC_SIMHASH)) != 0
+    is_ss = F.col("srcs").bitwiseAND(F.lit(SRC_SUBSTR)) != 0
+
+    need_verify = cfg.enable_minhash or cfg.enable_simhash
+    if need_verify:
+        sim_cols = ["simhash"] if cfg.enable_simhash else []
+        # The verify join only needs sets for candidate-INVOLVED
+        # docs — a small fraction of the corpus (dup-adjacent docs
+        # plus LSH false positives). Semi-joining signatures down
+        # to candidate nids first keeps the verify shuffle's fat
+        # shingle column proportional to candidate volume, not
+        # corpus size: at the 10^12-doc design point a corpus-wide
+        # shingle shuffle (~KB/doc) is the stage's largest exchange
+        # by an order of magnitude, and the nid list is small
+        # enough that AQE broadcasts the semi join (candidate ids
+        # are known-size parquet scratch by this point).
+        ver = cands.filter(is_mh | is_sh)
+        cand_nids = (
+            ver.select(F.col("url_a").alias("nid"))
+            .unionByName(ver.select(F.col("url_b").alias("nid")))
+            .dropDuplicates(["nid"])
+        )
+        if "shingles" in sigs.columns:
+            sets = sigs.join(cand_nids, "nid", "left_semi").select(
+                "nid", "shingles", *sim_cols
+            )
+        else:
+            # shingle sets were not stored (store_shingles=False):
+            # re-derive them for candidate docs only.
+            from dedupe_trees_spark.functions.minhash import shingle_set_udf
+
+            sets = sigs.join(cand_nids, "nid", "left_semi").select(
+                "nid",
+                shingle_set_udf(cfg.shingle_k)(token_hashes("norm")).alias(
+                    "shingles"
+                ),
+                *sim_cols,
+            )
+        # two join consumers (a/b side) — materialize once
+        if spill is not None:
+            sets = spill(sets, "sets")
+        a_side = sets.select(
+            F.col("nid").alias("url_a"),
+            F.col("shingles").alias("_set_a"),
+            *[F.col(c).alias("_sim_a") for c in sim_cols],
+        )
+        b_side = sets.select(
+            F.col("nid").alias("url_b"),
+            F.col("shingles").alias("_set_b"),
+            *[F.col(c).alias("_sim_b") for c in sim_cols],
+        )
+        # LEFT joins: exact-/substr-only pairs have no sets row and
+        # classify on their provenance bits alone (null J comparisons
+        # are false, and the exact arm fires before them anyway)
+        scored = cands.join(a_side, "url_a", "left").join(
+            b_side, "url_b", "left"
+        )
+        jac = jaccard_expr(F.col("_set_a"), F.col("_set_b"))
+        j_ok = jac >= cfg.jaccard_threshold
+        kind = F.when(is_ex, F.lit("exact")).when(
+            is_mh & j_ok, F.lit("minhash")
+        )
+        if cfg.enable_simhash:
+            from dedupe_trees_spark.functions.simhash import hamming_dist
+
+            ham_ok = (
+                hamming_dist(F.col("_sim_a"), F.col("_sim_b"))
+                <= cfg.simhash_max_hamming
+            )
+            kind = kind.when(is_sh & j_ok & ham_ok, F.lit("simhash"))
+        if cfg.enable_substring:
+            kind = kind.when(is_ss, F.lit("substr"))
+        scored = scored.withColumn("kind", kind).withColumn(
+            "score",
+            F.when(F.col("kind").isin("minhash", "simhash"), jac).otherwise(
+                F.lit(1.0)
+            ),
+        )
+    else:
+        kind = F.when(is_ex, F.lit("exact"))
+        if cfg.enable_substring:
+            kind = kind.when(is_ss, F.lit("substr"))
+        scored = cands.withColumn("kind", kind).withColumn(
+            "score", F.lit(1.0)
+        )
+    return scored.filter(F.col("kind").isNotNull()).select(
+        "url_a", "url_b", "kind", "score"
+    )
+
+
 class DedupePipeline:
     def __init__(self, spark: SparkSession, cfg: PipelineConfig):
         self.spark = spark
@@ -92,49 +326,8 @@ class DedupePipeline:
     def _build_signatures(self) -> DataFrame:
         from dedupe_trees_spark.sources.pages import read_pages_any
 
-        cfg = self.cfg
-        pages = read_pages_any(self.spark, cfg.input_path)
-        cols = ["url", "warc_ts", "text", "lang", "source", "source_order"]
-        have = set(pages.columns)
-        sel = [c for c in cols if c in have]
-        df = pages.select(*sel)
-        if "source_order" not in have and "source" in have:
-            df = df.withColumn(
-                "source_order",
-                F.regexp_extract("source", r"(\d+)$", 1).cast("int"),
-            )
-        df = df.withColumn("nid", node_id_expr(cfg.nid_bits))
-        df = df.withColumn("norm", normalize_text("text")).drop("text")
-        df = df.withColumn("content_hash", content_hash("norm")).withColumn(
-            "n_chars", F.length("norm")
-        )
-        # ONE Python round trip computes shingle sets + MinHash + SimHash
-        # (from the JVM-hashed token array — see token_hashes docstring for
-        # why shingles are mixed in NumPy, not built as strings) + winnowed
-        # substring fingerprints (from the text bytes)
-        sig = signature_struct_udf(
-            shingle_k=cfg.shingle_k,
-            num_perm=cfg.num_perm,
-            seed=cfg.minhash_seed,
-            with_simhash=cfg.enable_simhash,
-            substr_k=cfg.substring_k if cfg.enable_substring else None,
-            substr_w=cfg.substring_w if cfg.enable_substring else None,
-            with_shingles=cfg.store_shingles,
-        )
-        df = df.withColumn("_sig", sig(token_hashes("norm"), F.col("norm")))
-        df = df.withColumn("minhash", F.col("_sig.minhash")).withColumn(
-            "simhash", F.col("_sig.simhash")
-        )
-        if cfg.store_shingles:
-            df = df.withColumn("shingles", F.col("_sig.shingles"))
-        if cfg.enable_substring:
-            df = df.withColumn("substr_fp", F.col("_sig.substr_fp"))
-        df = df.drop("_sig")
-        if not cfg.enable_simhash:
-            df = df.drop("simhash")
-        # store_shingles=False keeps `norm` (3× smaller than the shingle
-        # column) so verify can re-derive sets for candidate docs only
-        return df if not cfg.store_shingles else df.drop("norm")
+        pages = read_pages_any(self.spark, self.cfg.input_path)
+        return build_signatures(pages, self.cfg)
 
     def _build_bands(self) -> DataFrame:
         cfg = self.cfg
@@ -143,8 +336,11 @@ class DedupePipeline:
             sigs, sig_col="minhash", id_col="nid", bands=cfg.bands, rows=cfg.rows_per_band
         )
 
-    # bucket-provenance bit flags (candidate_pairs bit_or's them per pair)
-    SRC_MINHASH, SRC_SIMHASH, SRC_SUBSTR, SRC_EXACT = 1, 2, 4, 8
+    # bucket-provenance bit flags (module-level constants; kept as class
+    # attributes for the existing call sites and tests)
+    SRC_MINHASH, SRC_SIMHASH, SRC_SUBSTR, SRC_EXACT = (
+        SRC_MINHASH, SRC_SIMHASH, SRC_SUBSTR, SRC_EXACT,
+    )
 
     def _sig_doc_count(self) -> int:
         """Doc count from the committed S1 lineage manifests (parquet
@@ -182,71 +378,14 @@ class DedupePipeline:
         return self.spark.read.parquet(path)
 
     def _bucket_table(self, sigs: DataFrame) -> DataFrame:
-        """FUSED candidate generation input: ALL FOUR generators' buckets
-        go through ONE candidate_pairs pass — one bucket-count window, one
-        per-bucket aggregation, one dedup — instead of separate passes
-        (round-2 shape: ~3× the full-table exchanges plus a separate
-        exact-hash groupBy over the corpus; its kernel decomposition
-        blamed exactly that fixed per-exchange latency,
-        BENCH/BASELINE.md K2). band_id namespaces keep the generators'
-        buckets disjoint: minhash [0, bands), simhash tables
-        [bands, bands+10), substr fingerprints at bands+10, exact
-        content-hash at bands+11. Per-pair provenance is a bit-OR int
-        (SRC_* flags), so the dedup stays a fixed-width partial agg.
-        Exact buckets always use star topology (star_srcs): members
-        are byte-identical, so no verification prunes their edges and
-        m−1 edges carry the component — same shape exact_edges() used
-        as a standalone stage."""
-        cfg = self.cfg
-        bucket_frames = [
-            sigs.select(
-                "nid",
-                F.lit(cfg.bands + 11).alias("band_id"),
-                F.col("content_hash").alias("band_hash"),
-                F.lit(self.SRC_EXACT).alias("src"),
-            )
-        ]
-        if cfg.enable_minhash:
-            if cfg.checkpoint_bands:
-                bands = read_stage(self.spark, cfg.ckpt_dir, "bands")
-            else:
-                bands = self._build_bands()
-            bucket_frames.append(
-                bands.select(
-                    "nid", "band_id", "band_hash",
-                    F.lit(self.SRC_MINHASH).alias("src"),
-                )
-            )
-        if cfg.enable_simhash:
-            from dedupe_trees_spark.operators.simhash_join import explode_block_keys
-
-            keys = explode_block_keys(
-                sigs.select("nid", "simhash"),
-                sim_col="simhash", id_col="nid",
-                max_hamming=cfg.simhash_max_hamming,
-            )
-            bucket_frames.append(
-                keys.select(
-                    "nid",
-                    (F.col("band_id") + F.lit(cfg.bands)).alias("band_id"),
-                    "band_hash",
-                    F.lit(self.SRC_SIMHASH).alias("src"),
-                )
-            )
-        if cfg.enable_substring:
-            bucket_frames.append(
-                sigs.select(
-                    "nid",
-                    F.lit(cfg.bands + 10).alias("band_id"),
-                    F.explode(F.array_distinct("substr_fp")).alias("band_hash"),
-                    F.lit(self.SRC_SUBSTR).alias("src"),
-                )
-            )
-
-        fused = bucket_frames[0]
-        for bfr in bucket_frames[1:]:
-            fused = fused.unionByName(bfr)
-        return fused
+        """See ``build_bucket_table`` — the pipeline passes its
+        checkpointed band table when ``checkpoint_bands`` is on."""
+        bands = (
+            read_stage(self.spark, self.cfg.ckpt_dir, "bands")
+            if (self.cfg.enable_minhash and self.cfg.checkpoint_bands)
+            else None
+        )
+        return build_bucket_table(sigs, self.cfg, bands_df=bands)
 
     def _scratch_dir(self) -> str:
         return self.cfg.scratch_dir or f"{self.cfg.ckpt_dir}/_scratch"
@@ -273,107 +412,13 @@ class DedupePipeline:
         cands = self._spill(cands, f"{scratch}/cands", scratch_local)
         self.pairs_phases["cands_sec"] = round(time.time() - t0, 1)
 
-        # Edge assembly is ONE flow: every candidate pair is classified
-        # by a single CASE over its provenance bits + exact-Jaccard /
-        # Hamming scores, strongest evidence first (exact > minhash >
-        # simhash > substr — the same priority the former per-generator
-        # union resolved with a min_by groupBy; with one row in and at
-        # most one row out per pair, that final full-pair exchange is
-        # gone). Approximation can only lose pairs, never admit false
-        # ones: minhash/simhash-proposed pairs still require exact
-        # J ≥ threshold (simhash-only additionally Hamming ≤ max).
-        is_ex = F.col("srcs").bitwiseAND(F.lit(self.SRC_EXACT)) != 0
-        is_mh = F.col("srcs").bitwiseAND(F.lit(self.SRC_MINHASH)) != 0
-        is_sh = F.col("srcs").bitwiseAND(F.lit(self.SRC_SIMHASH)) != 0
-        is_ss = F.col("srcs").bitwiseAND(F.lit(self.SRC_SUBSTR)) != 0
+        def spill_timed(df: DataFrame, name: str) -> DataFrame:
+            t = time.time()
+            out = self._spill(df, f"{scratch}/{name}", scratch_local)
+            self.pairs_phases[f"{name}_sec"] = round(time.time() - t, 1)
+            return out
 
-        need_verify = cfg.enable_minhash or cfg.enable_simhash
-        if need_verify:
-            sim_cols = ["simhash"] if cfg.enable_simhash else []
-            # The verify join only needs sets for candidate-INVOLVED
-            # docs — a small fraction of the corpus (dup-adjacent docs
-            # plus LSH false positives). Semi-joining signatures down
-            # to candidate nids first keeps the verify shuffle's fat
-            # shingle column proportional to candidate volume, not
-            # corpus size: at the 10^12-doc design point a corpus-wide
-            # shingle shuffle (~KB/doc) is the stage's largest exchange
-            # by an order of magnitude, and the nid list is small
-            # enough that AQE broadcasts the semi join (candidate ids
-            # are known-size parquet scratch by this point).
-            ver = cands.filter(is_mh | is_sh)
-            cand_nids = (
-                ver.select(F.col("url_a").alias("nid"))
-                .unionByName(ver.select(F.col("url_b").alias("nid")))
-                .dropDuplicates(["nid"])
-            )
-            if "shingles" in sigs.columns:
-                sets = sigs.join(cand_nids, "nid", "left_semi").select(
-                    "nid", "shingles", *sim_cols
-                )
-            else:
-                # shingle sets were not stored (store_shingles=False):
-                # re-derive them for candidate docs only.
-                from dedupe_trees_spark.functions.minhash import shingle_set_udf
-                from dedupe_trees_spark.functions.text import token_hashes
-
-                sets = sigs.join(cand_nids, "nid", "left_semi").select(
-                    "nid",
-                    shingle_set_udf(cfg.shingle_k)(token_hashes("norm")).alias(
-                        "shingles"
-                    ),
-                    *sim_cols,
-                )
-            # two join consumers (a/b side) — materialize once
-            t0 = time.time()
-            sets = self._spill(sets, f"{scratch}/sets", scratch_local)
-            self.pairs_phases["sets_sec"] = round(time.time() - t0, 1)
-            a_side = sets.select(
-                F.col("nid").alias("url_a"),
-                F.col("shingles").alias("_set_a"),
-                *[F.col(c).alias("_sim_a") for c in sim_cols],
-            )
-            b_side = sets.select(
-                F.col("nid").alias("url_b"),
-                F.col("shingles").alias("_set_b"),
-                *[F.col(c).alias("_sim_b") for c in sim_cols],
-            )
-            # LEFT joins: exact-/substr-only pairs have no sets row and
-            # classify on their provenance bits alone (null J comparisons
-            # are false, and the exact arm fires before them anyway)
-            scored = cands.join(a_side, "url_a", "left").join(
-                b_side, "url_b", "left"
-            )
-            jac = jaccard_expr(F.col("_set_a"), F.col("_set_b"))
-            j_ok = jac >= cfg.jaccard_threshold
-            kind = F.when(is_ex, F.lit("exact")).when(
-                is_mh & j_ok, F.lit("minhash")
-            )
-            if cfg.enable_simhash:
-                from dedupe_trees_spark.functions.simhash import hamming_dist
-
-                ham_ok = (
-                    hamming_dist(F.col("_sim_a"), F.col("_sim_b"))
-                    <= cfg.simhash_max_hamming
-                )
-                kind = kind.when(is_sh & j_ok & ham_ok, F.lit("simhash"))
-            if cfg.enable_substring:
-                kind = kind.when(is_ss, F.lit("substr"))
-            scored = scored.withColumn("kind", kind).withColumn(
-                "score",
-                F.when(F.col("kind").isin("minhash", "simhash"), jac).otherwise(
-                    F.lit(1.0)
-                ),
-            )
-        else:
-            kind = F.when(is_ex, F.lit("exact"))
-            if cfg.enable_substring:
-                kind = kind.when(is_ss, F.lit("substr"))
-            scored = cands.withColumn("kind", kind).withColumn(
-                "score", F.lit(1.0)
-            )
-        return scored.filter(F.col("kind").isNotNull()).select(
-            "url_a", "url_b", "kind", "score"
-        )
+        return score_candidates(cands, sigs, cfg, spill=spill_timed)
 
     def _build_components(self) -> DataFrame:
         cfg = self.cfg
