@@ -82,6 +82,34 @@ def replace_dir(spark: SparkSession, src: str, dst: str) -> None:
     fs.rename(sp, dp)
 
 
+def append_stage(spark: SparkSession, src_dir: str, dst_dir: str, prefix: str) -> None:
+    """Append ``src_dir``'s parquet part-files into an existing stage
+    directory, renaming each to ``<prefix>-<original>``. Idempotent per
+    prefix: files carrying the prefix are deleted first, so re-running a
+    failed batch commit converges instead of duplicating rows. Hadoop
+    FileSystem API throughout (HDFS/S3A ckpt dirs work like local ones).
+
+    This is the sandbox stand-in for what a real deployment gets from
+    Iceberg's append snapshots: the incremental index appends one batch
+    of signature/bucket files per update without rewriting the table."""
+    jvm = spark._jvm
+    sp = jvm.org.apache.hadoop.fs.Path(src_dir)
+    dp = jvm.org.apache.hadoop.fs.Path(dst_dir)
+    fs = dp.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(dp):
+        name = st.getPath().getName()
+        if name.startswith(f"{prefix}-"):
+            fs.delete(st.getPath(), False)
+    for st in fs.listStatus(sp):
+        name = st.getPath().getName()
+        if name.startswith("_"):  # _SUCCESS etc.
+            continue
+        fs.rename(
+            st.getPath(),
+            jvm.org.apache.hadoop.fs.Path(dst_dir, f"{prefix}-{name}"),
+        )
+
+
 def mark(ckpt_dir: str, stage: str, name: str) -> None:
     """Drop an empty marker file inside a committed stage directory."""
     target = os.path.join(stage_path(ckpt_dir, stage), name)

@@ -913,8 +913,56 @@ FROM f GROUP BY doc_id
 """
 
 
+def q_incremental_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-index parity, oracle-checked end-to-end: documents
+    split pseudo-randomly into two batches, a dedup index initialized on
+    batch 1 (`plans/incremental.init_index`), batch 2 folded in with
+    `incremental_update` — and the updated canonical table is compared
+    against the SAME full-corpus SQL oracle as the flagship
+    (`SQL_DEDUP_CANONICAL_FULL`). Equality proves the delta path's
+    candidate join against the persisted bucket index, the subgraph
+    connected components, and the touched-cluster re-resolution
+    reproduce a from-scratch run exactly (the parity theorem in
+    plans/incremental.py, also pytest-asserted with all four generators
+    in tests/test_incremental.py). exact + minhash generators only —
+    the oracle's edge semantics; resolver (source_order, url) matches
+    the oracle window. The scratch index lives under a fresh /tmp dir
+    (the returned DataFrame reads its parquet lazily, so it is not
+    cleaned up here)."""
+    import tempfile
+
+    from dedupe_trees_spark.config import PipelineConfig
+    from dedupe_trees_spark.io import read_stage
+    from dedupe_trees_spark.plans.incremental import incremental_update, init_index
+
+    pages = documents_as_pages(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="incr_contract_")
+    pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).write.parquet(
+        f"{work}/b1"
+    )
+    cfg = PipelineConfig(
+        input_path=f"{work}/b1",
+        ckpt_dir=f"{work}/idx",
+        enable_simhash=False,
+        enable_substring=False,
+        resolvers=("source_order", "arbitrary"),
+    )
+    init_index(spark, cfg)
+    incremental_update(
+        spark, cfg, pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1), "b2"
+    )
+    canon = read_stage(spark, cfg.ckpt_dir, "canonical")
+    w = Window.partitionBy("component_id")
+    return canon.join(pages.select("url", "doc_id"), "url").select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.col("is_canonical"),
+    )
+
+
 QUERIES.update(
     {
+        "incremental_canonical": q_incremental_canonical,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dup_pairs": q_minhash_lsh_dup_pairs,
         "substring_dup_pairs": q_substring_dup_pairs,
@@ -940,6 +988,9 @@ ORACLES.update(
         "substring_extent_pairs": SQL_SUBSTRING_EXTENT_PAIRS,
         # simhash_dup_pairs: deliberately no oracle (rows-only check)
         "dedup_canonical_full": SQL_DEDUP_CANONICAL_FULL,
+        # the incremental path must reproduce the full-corpus result —
+        # the flagship's oracle IS its oracle
+        "incremental_canonical": SQL_DEDUP_CANONICAL_FULL,
         "token_stats": SQL_TOKEN_STATS,
         "quality_scores": SQL_QUALITY_SCORES,
         "lang_id": SQL_LANG_ID,
