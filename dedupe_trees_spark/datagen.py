@@ -46,6 +46,12 @@ _EPOCH = datetime.datetime(2024, 1, 1)
 class GenConfig:
     n_docs: int = 5000
     seed: int = 42
+    # first doc id — docs are a pure function of (seed, doc_id), so
+    # id_start=16_000_000 generates exactly the rows a 16.1M-doc run
+    # would produce for those ids: the natural way to synthesize a
+    # "next crawl increment" of an existing corpus (incremental index
+    # benchmarks use this)
+    id_start: int = 0
     block: int = 20          # ids per layout block
     n_sources: int = 20
     hot_every: int = 200     # every k-th id joins the hot template cluster
@@ -187,7 +193,7 @@ def gen_batch(cfg: GenConfig, ids: np.ndarray) -> pd.DataFrame:
 def generate_pages(spark, cfg: GenConfig, partitions: int | None = None):
     """Distributed deterministic generation: spark.range → mapInPandas."""
     n_part = partitions or max(8, spark.sparkContext.defaultParallelism)
-    base = spark.range(0, cfg.n_docs, 1, n_part)
+    base = spark.range(cfg.id_start, cfg.id_start + cfg.n_docs, 1, n_part)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -199,4 +205,4 @@ def generate_pages(spark, cfg: GenConfig, partitions: int | None = None):
 
 def generate_pages_pandas(cfg: GenConfig) -> pd.DataFrame:
     """Driver-side twin of generate_pages (same rows) for small fixtures."""
-    return gen_batch(cfg, np.arange(cfg.n_docs))
+    return gen_batch(cfg, np.arange(cfg.id_start, cfg.id_start + cfg.n_docs))

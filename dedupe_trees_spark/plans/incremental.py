@@ -51,11 +51,13 @@ so ranks and canonicals match row-for-row.
 Scale notes (10^12 docs, 10^9-doc increments):
 - The index bucket table is ~75 small rows/doc — the same relation the
   batch pipeline shuffles once per run; persisting it is what buys
-  increments that never rescan corpus text. On Iceberg it is partitioned
-  by ``bucket(band_hash)`` so the new×index key join and the
-  already-indexed anti-join become storage-partitioned joins (no index
-  shuffle); in-sandbox parquet pays a plain shuffle join of the
-  semi-filtered slice.
+  increments that never rescan corpus text. Index tables are only ever
+  SCANNED during an update — every join against them broadcasts the
+  batch-proportional side (hints in the code), so no update shuffles a
+  corpus-sized relation. On Iceberg the same property comes from
+  storage-partitioned joins against ``bucket(band_hash)`` /
+  ``bucket(nid)`` partitioned index tables, which also covers increment
+  sizes beyond broadcast range.
 - components/canonical rewrites are copy-on-write here; an Iceberg
   deployment expresses them as MERGE INTO (position-delete row updates
   for remapped cluster ids) instead of full rewrites.
@@ -153,9 +155,16 @@ def _cross_candidates(
     keys = new_buckets.select("band_id", "band_hash").dropDuplicates()
     exact_band = cfg.bands + 11
 
-    def capped(df: DataFrame, side: str) -> DataFrame:
+    def capped(df: DataFrame) -> DataFrame:
+        # the cap order is a pure function of nid, NOT of the bucket key:
+        # a template cluster's members share most of their ~90 keys, and a
+        # per-key-salted order would elect a DIFFERENT cap-sized rep set
+        # per key — a hot doc's partner union across keys would approach
+        # cap × n_keys pairs instead of ~cap. With one global order every
+        # key elects the same reps and the per-doc partner set stays
+        # O(cap).
         w = Window.partitionBy("band_id", "band_hash").orderBy(
-            F.xxhash64(F.lit(side), F.col("nid")), F.col("nid")
+            F.xxhash64("nid"), F.col("nid")
         )
         limit = F.when(
             F.col("band_id") == F.lit(exact_band), F.lit(1)
@@ -167,12 +176,12 @@ def _cross_candidates(
         )
 
     idx_side = capped(
-        idx_buckets.join(keys, ["band_id", "band_hash"], "left_semi"), "i"
+        idx_buckets.join(F.broadcast(keys), ["band_id", "band_hash"], "left_semi")
     ).select(
         "band_id", "band_hash", F.col("nid").alias("_inid"),
         F.col("src").alias("_isrc"),
     )
-    new_side = capped(new_buckets, "n").select(
+    new_side = capped(new_buckets).select(
         "band_id", "band_hash", F.col("nid").alias("_nnid"), "src"
     )
     joined = new_side.join(idx_side, ["band_id", "band_hash"])
@@ -207,27 +216,37 @@ def incremental_update(
         df.write.mode("overwrite").parquet(f"{staging}/{name}")
         return spark.read.parquet(f"{staging}/{name}")
 
+    # Join discipline for everything below: the index tables are only
+    # ever SCANNED — every join against them broadcasts the batch-
+    # proportional side, so no update ever shuffles a corpus-sized
+    # relation. (At increment sizes where the batch side outgrows a
+    # broadcast, an Iceberg deployment gets the same no-index-shuffle
+    # property from storage-partitioned joins against the
+    # bucket-partitioned index tables; the hints are the local-mode
+    # spelling of that plan.)
+
     # ---- S1 over the batch, collapse, collision/skip audit ----------------
     t0 = time.time()
     sigs_idx = read_stage(spark, index_dir, "signatures")
-    new_sigs = _collapse_batch(build_signatures(new_pages, cfg))
-    probe = spill(
-        new_sigs.join(
-            sigs_idx.select("nid", F.col("url").alias("_iurl")), "nid", "left"
+    batch_sigs = spill(_collapse_batch(build_signatures(new_pages, cfg)), "sigs_raw")
+    matches = spill(
+        sigs_idx.select("nid", F.col("url").alias("_iurl")).join(
+            F.broadcast(batch_sigs.select("nid", "url")), "nid"
         ),
         "probe",
     )
-    n_collide = probe.filter(
-        F.col("_iurl").isNotNull() & (F.col("_iurl") != F.col("url"))
-    ).count()
+    n_collide = matches.filter(F.col("_iurl") != F.col("url")).count()
     if n_collide:
         raise RuntimeError(
             f"{n_collide} nid collision(s) between batch and index (distinct "
             "urls share a node id); rebuild the index and batch at "
             "nid_bits=128"
         )
-    report["skipped_existing"] = probe.filter(F.col("_iurl").isNotNull()).count()
-    new_sigs = spill(probe.filter(F.col("_iurl").isNull()).drop("_iurl"), "sigs")
+    report["skipped_existing"] = matches.count()
+    new_sigs = spill(
+        batch_sigs.join(F.broadcast(matches.select("nid")), "nid", "left_anti"),
+        "sigs",
+    )
     n_new = report["new_docs"] = new_sigs.count()
     report["s1_sec"] = round(time.time() - t0, 1)
     if n_new == 0:
@@ -264,7 +283,9 @@ def incremental_update(
         .unionByName(edges.select(F.col("url_b").alias("nid")))
         .dropDuplicates(["nid"])
     )
-    old_map = spill(clusters.join(touched_nids, "nid", "left_semi"), "old_map")
+    old_map = spill(
+        clusters.join(F.broadcast(touched_nids), "nid", "left_semi"), "old_map"
+    )
     amap = old_map.select(
         F.col("nid").alias("url_a"), F.col("component_id").alias("_ra")
     )
@@ -312,14 +333,21 @@ def incremental_update(
     )
     clusters_new = (
         clusters.join(
-            root_remap, clusters["component_id"] == root_remap["_old_root"], "left"
+            F.broadcast(root_remap),
+            clusters["component_id"] == root_remap["_old_root"],
+            "left",
         )
         .select(
             "nid",
             F.coalesce("_new_comp", "component_id").alias("component_id"),
         )
     )
-    new_assign = comp.join(clusters.select("nid"), "nid", "left_anti")
+    # subgraph nids already present in the map (touched roots always;
+    # new nids too when re-running a partially committed batch) must not
+    # be appended again — two broadcast-side scans keep this index-
+    # shuffle-free
+    known = clusters.join(F.broadcast(comp.select("nid")), "nid", "left_semi")
+    new_assign = comp.join(F.broadcast(known.select("nid")), "nid", "left_anti")
     clusters_new = clusters_new.unionByName(new_assign)
     spill(clusters_new, "clusters_full")
     report["cc_sec"] = round(time.time() - t0, 1)
@@ -329,13 +357,20 @@ def incremental_update(
     clusters_full = spark.read.parquet(f"{staging}/clusters_full")
     touched_comps = comp.select("component_id").dropDuplicates()
     meta = [c for c in META_COLS if c in sigs_idx.columns]
-    members = (
-        clusters_full.join(touched_comps, "component_id", "left_semi")
-        .join(all_sigs.select("nid", *meta), "nid")
+    members_map = spill(
+        clusters_full.join(F.broadcast(touched_comps), "component_id", "left_semi"),
+        "members_map",
     )
-    resolved = R.resolve(members, list(cfg.resolvers)).select(
-        "component_id", "url", *[c for c in meta if c != "url"],
-        "rank", "is_canonical",
+    member_sigs = all_sigs.select("nid", *meta).join(
+        F.broadcast(members_map.select("nid")), "nid", "left_semi"
+    )
+    members = members_map.join(member_sigs, "nid")
+    resolved = spill(
+        R.resolve(members, list(cfg.resolvers)).select(
+            "component_id", "url", *[c for c in meta if c != "url"],
+            "rank", "is_canonical",
+        ),
+        "resolved",
     )
     canonical_old = read_stage(spark, index_dir, "canonical")
     # rows of touched clusters appear under their pre-merge label (a
@@ -344,14 +379,22 @@ def incremental_update(
     # resolution (labels of touched and untouched clusters are disjoint:
     # a cluster's label is one of its member nids)
     stale_labels = touched_roots.unionByName(touched_comps).dropDuplicates()
-    untouched = canonical_old.join(stale_labels, "component_id", "left_anti")
-    displaced = (
-        canonical_old.filter(F.col("is_canonical"))
-        .select("url")
-        .join(resolved.filter(F.col("is_canonical")).select("url"), "url", "left_anti")
-        .join(resolved.select("url"), "url", "left_semi")
+    untouched = canonical_old.join(
+        F.broadcast(stale_labels), "component_id", "left_anti"
     )
-    report["displaced_old_canonicals"] = displaced.count()
+    # displaced = was canonical in a touched cluster, no longer is
+    old_touched_canon = canonical_old.filter(F.col("is_canonical")).join(
+        F.broadcast(stale_labels), "component_id", "left_semi"
+    )
+    report["displaced_old_canonicals"] = (
+        old_touched_canon.select("url")
+        .join(
+            F.broadcast(resolved.filter(F.col("is_canonical")).select("url")),
+            "url",
+            "left_anti",
+        )
+        .count()
+    )
     spill(untouched.unionByName(resolved), "canonical_full")
     report["resolve_sec"] = round(time.time() - t0, 1)
 
