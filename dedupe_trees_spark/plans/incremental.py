@@ -185,14 +185,30 @@ def _cross_candidates(
         "band_id", "band_hash", F.col("nid").alias("_nnid"), "src"
     )
     joined = new_side.join(idx_side, ["band_id", "band_hash"])
+    pairs = joined.groupBy("_nnid", "_inid").agg(
+        F.bit_or(F.col("src").bitwiseOR(F.col("_isrc"))).alias("srcs")
+    )
+    # Provable per-batch-doc bound: keep ≤ bucket_cap index partners per
+    # new doc (global partner-hash order). Per-key caps alone leave a
+    # residual spread on giant template clusters — each key's rep set is
+    # the lowest-hash members PRESENT in that key, and presence varies
+    # per key, so a hot doc's partner union lands at a few × cap
+    # (measured 16M/100k: 852 k edges, ~1.6 k per hot doc). One pair-
+    # proportional window makes the cross-edge count ≤ cap × batch docs
+    # regardless of index cluster sizes. Connectivity needs one verified
+    # true-cluster partner among the kept cap; same recall trade as the
+    # salted hot buckets, with cap-sized margin.
+    w_doc = Window.partitionBy("_nnid").orderBy(
+        F.xxhash64("_inid"), F.col("_inid")
+    )
     return (
-        joined.select(
+        pairs.withColumn("_pn", F.row_number().over(w_doc))
+        .filter(F.col("_pn") <= cfg.bucket_cap)
+        .select(
             F.least("_nnid", "_inid").alias("url_a"),
             F.greatest("_nnid", "_inid").alias("url_b"),
-            F.col("src").bitwiseOR(F.col("_isrc")).alias("src"),
+            "srcs",
         )
-        .groupBy("url_a", "url_b")
-        .agg(F.bit_or("src").alias("srcs"))
     )
 
 
