@@ -91,6 +91,8 @@ def main() -> int:
         "cosine_topk",
         "quality_scores",
         "lang_id",
+        "paragraph_dedup_text",
+        "repetition_scores",
     ]
     qs = Q.QUERIES
     for name in bench_queries:

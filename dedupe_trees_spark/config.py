@@ -74,6 +74,13 @@ class PipelineConfig:
     # verify the url -> xxhash64 node-id mapping is injective after S1
     # (one countDistinct pass; disable only if the corpus was pre-audited)
     audit_ids: bool = True
+    # canonicalize urls at ingest (functions.text.normalize_url): messy
+    # crawl variants of one page — scheme/host case, default ports,
+    # trailing slashes, tracking params, fragments — then share a node
+    # id, and the S1 re-crawl audit collapses them under the existing
+    # latest-crawl-wins rule. Off by default: it changes document
+    # identity, so it must be a deliberate corpus-level choice.
+    normalize_urls: bool = False
     # node-id width. 64 = nid is xxhash64(url) (8-byte shuffles — right up
     # to ~10^9 docs). 128 = nid is a struct of two independently seeded
     # xxhash64s: at the 10^12-doc design point the 64-bit birthday bound
@@ -111,6 +118,12 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
         help="comma-separated resolver chain, applied in order",
     )
     p.add_argument("--no-resume", action="store_false", dest="resume")
+    p.add_argument(
+        "--normalize-urls", action="store_true", dest="normalize_urls",
+        help="canonicalize urls at ingest (strip fragments/tracking "
+        "params/default ports/www., collapse trailing slashes) so messy "
+        "crawl variants of one page dedup as re-crawls of one document",
+    )
     p.add_argument(
         "--scratch-dir", default=None, dest="scratch_dir",
         help="directory for recomputable pairs-stage scratch (default "

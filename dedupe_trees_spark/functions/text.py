@@ -101,3 +101,65 @@ def token_hashes(col: Column | str, sep: str = " ") -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(F.split(c, sep), lambda s: F.xxhash64(s))
+
+
+# query-param names stripped by normalize_url (tracking-only params that
+# never change page content — the standard crawl-canonicalization list)
+TRACKING_PARAM_PREFIXES = ("utm_", "fbclid=", "gclid=", "msclkid=")
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL for crawl-level dedup (JVM-side, oracle-exact).
+
+    Rules (deliberately deterministic + SQL-twinnable, in order):
+
+    1. drop the ``#fragment``;
+    2. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``msclkid``); remaining params keep their original order — NOT
+       sorted, so ``?a=1&b=2`` and ``?b=2&a=1`` stay distinct (reorder
+       canonicalization is lossy on servers that care);
+    3. lowercase the ``scheme://host[:port]`` origin, strip a leading
+       ``www.`` and the scheme-default port (``:443``/``:80``);
+    4. collapse a trailing ``/`` run on the path (root stays ``/``;
+       an empty path becomes ``/``).
+
+    Used by the re-crawl collapse when PipelineConfig.normalize_urls is
+    set, and by the url_canonical_groups contract query. A pure map —
+    no shuffle, no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    nofrag = F.split_part(c, F.lit("#"), F.lit(1))
+    base = F.split_part(nofrag, F.lit("?"), F.lit(1))
+    q = F.split_part(nofrag, F.lit("?"), F.lit(2))
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: ~(
+            p.startswith("utm_")
+            | p.startswith("fbclid=")
+            | p.startswith("gclid=")
+            | p.startswith("msclkid=")
+        ),
+    )
+    qf = F.array_join(kept, "&")
+    origin_re = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
+    origin_raw = F.regexp_extract(base, origin_re, 0)
+    rest = F.substr(base, F.length(origin_raw) + 1)
+    origin0 = F.replace(F.lower(origin_raw), F.lit("://www."), F.lit("://"))
+    origin = (
+        F.when(
+            origin0.startswith("https://") & origin0.endswith(":443"),
+            F.substr(origin0, F.lit(1), F.length(origin0) - 4),
+        )
+        .when(
+            origin0.startswith("http://") & origin0.endswith(":80"),
+            F.substr(origin0, F.lit(1), F.length(origin0) - 3),
+        )
+        .otherwise(origin0)
+    )
+    path0 = F.regexp_replace(rest, r"/+$", "")
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    return F.concat(
+        origin,
+        path,
+        F.when(qf != "", F.concat(F.lit("?"), qf)).otherwise(F.lit("")),
+    )

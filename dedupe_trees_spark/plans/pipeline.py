@@ -88,6 +88,13 @@ def build_signatures(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     have = set(pages.columns)
     sel = [c for c in cols if c in have]
     df = pages.select(*sel)
+    if cfg.normalize_urls:
+        # canonical url BEFORE node-id derivation: messy crawl variants
+        # of one page then share a nid, and the S1 re-crawl audit
+        # collapses them (latest crawl wins) — pure map, no extra stage
+        from dedupe_trees_spark.functions.text import normalize_url
+
+        df = df.withColumn("url", normalize_url("url"))
     if "source_order" not in have and "source" in have:
         df = df.withColumn(
             "source_order",

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dedupe_trees_spark.functions.text import fingerprint_md5, tokens
@@ -1099,3 +1099,256 @@ QUERIES.update(
 )
 
 ORACLES.update({"embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS})
+
+
+# ---------------------------------------------------------------------------
+# M5 (r4, late) — paragraph-level dedup, repetition quality, URL canonicals
+
+
+def _chunk_paras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, pos, para) token-chunk paragraphs (chunk=8).
+
+    The fixture corpus is single-line, so the paragraph unit for the
+    contract is a fixed 8-token chunk — `_PARAS_SQL` is the 1:1 DuckDB
+    twin (list slicing over generate_series). Real web text uses
+    `explode_paragraphs` on "\\n\\n" instead; all downstream operators
+    are separator-agnostic.
+    """
+    from dedupe_trees_spark.operators.paragraphs import token_chunk_paragraphs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_chunk_paragraphs(d, chunk=8)
+
+
+_PARAS_SQL = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+  paras AS (
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           array_to_string(arr[(i*8+1):(i*8+8)], ' ') AS para
+    FROM (SELECT doc_id, arr,
+                 unnest(generate_series(0, CAST(ceil(len(arr)/8.0) AS INT) - 1)) AS i
+          FROM toks)
+  )
+"""
+
+
+def q_paragraph_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate census: paragraphs occurring ≥ 2× corpus-
+    wide, with distinct-doc and occurrence counts (map-side partial agg
+    collapses hot boilerplate before the one exchange)."""
+    from dedupe_trees_spark.operators.paragraphs import paragraph_dup_stats
+
+    return paragraph_dup_stats(_chunk_paras(spark, sf_dir))
+
+
+SQL_PARAGRAPH_DUP_STATS = f"""
+WITH {_PARAS_SQL}
+SELECT para, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM paras GROUP BY para HAVING count(*) >= 2
+"""
+
+
+def q_paragraph_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup, CCNet semantics: keep only the
+    global first occurrence (by (doc_id, pos)) of every distinct
+    paragraph and rebuild each document in order — one row per input
+    doc, empty string when nothing survives. Engine side uses the
+    skew-safe groupBy(hash)+join-back keeper (operators/paragraphs.py);
+    the oracle states the same rule as a row_number window."""
+    from dedupe_trees_spark.operators.paragraphs import paragraph_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup(d, _chunk_paras(spark, sf_dir), sep=" ")
+
+
+SQL_PARAGRAPH_DEDUP_TEXT = f"""
+WITH {_PARAS_SQL},
+kept AS (
+  SELECT doc_id, pos, para FROM paras
+  QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.para, ' ' ORDER BY k.pos), '') AS clean_text
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition quality signals — duplicate-
+    line fraction, duplicate-line character fraction, top-bigram
+    fraction — as a pure shuffle-free codegen map (no explode/UDF)."""
+    from dedupe_trees_spark.operators.textstats import repetition_features
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_features(d, chunk=8).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac", "top_bigram_frac"
+    )
+
+
+SQL_REPETITION_SCORES = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS arr,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, n,
+    list_transform(generate_series(0, CAST(ceil(n / 8.0) AS INT) - 1),
+                   i -> array_to_string(arr[(i*8+1):(i*8+8)], ' ')) AS lines,
+    CASE WHEN n >= 2
+         THEN list_transform(generate_series(1, n - 1), i -> arr[i] || ' ' || arr[i+1])
+         ELSE [] END AS bg
+  FROM toks
+)
+SELECT doc_id,
+  CAST(len(lines) AS INT) AS n_lines,
+  round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 8) AS dup_line_frac,
+  round(list_sum(list_transform(lines,
+          x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1 THEN length(x) ELSE 0 END))
+        / CAST(greatest(list_sum(list_transform(lines, x -> length(x))), 1) AS DOUBLE),
+        8) AS dup_line_char_frac,
+  round(CASE WHEN n < 2 THEN 0.0
+             ELSE CAST(list_max(list_transform(bg, b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
+                  / (n - 1) END, 8) AS top_bigram_frac
+FROM feats
+"""
+
+
+def _messy_url(doc_id: Column) -> Column:
+    """Deterministic messy-crawl URL for the fixture docs: ~2.5 docs per
+    canonical target (doc_id % 200) wearing scheme/host case, default
+    ports, trailing slashes, tracking params, and fragments. Mirrored
+    1:1 by `_MESSY_URL_SQL` — keep in sync."""
+    gid = doc_id % 200
+    return F.concat(
+        F.when(doc_id % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://")),
+        F.when(doc_id % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.lit("site"), (gid % 7).cast("string"), F.lit(".com"),
+        F.when(doc_id % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), gid.cast("string"),
+        F.when(doc_id % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(doc_id % 4 == 0, F.lit("?utm_source=tw&fbclid=abc"))
+        .when(doc_id % 4 == 1, F.lit("?utm_medium=m"))
+        .when(doc_id % 4 == 2,
+              F.concat(F.lit("?id="), (gid % 4).cast("string"), F.lit("&utm_campaign=c")))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+_MESSY_URL_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+    || 'site' || CAST((doc_id % 200) % 7 AS VARCHAR) || '.com'
+    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+    || '/p/' || CAST(doc_id % 200 AS VARCHAR)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=tw&fbclid=abc'
+             WHEN doc_id % 4 = 1 THEN '?utm_medium=m'
+             WHEN doc_id % 4 = 2 THEN '?id=' || CAST((doc_id % 200) % 4 AS VARCHAR) || '&utm_campaign=c'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
+"""
+
+_NORM_URL_SQL = """
+s1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM raw),
+s2 AS (SELECT doc_id, url, split_part(nofrag, '?', 1) AS base,
+              split_part(nofrag, '?', 2) AS q FROM s1),
+s3 AS (
+  SELECT doc_id, url, base,
+    array_to_string(list_filter(string_split(q, '&'),
+      p -> NOT (p LIKE 'utm_%' OR p LIKE 'fbclid=%'
+                OR p LIKE 'gclid=%' OR p LIKE 'msclkid=%')), '&') AS qf
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, url, qf,
+    replace(lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', 0)),
+            '://www.', '://') AS origin0,
+    substr(base, length(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', 0)) + 1) AS rest
+  FROM s3
+),
+s5 AS (
+  SELECT doc_id, url, qf, rest,
+    CASE WHEN origin0 LIKE 'https://%' AND origin0 LIKE '%:443'
+           THEN substr(origin0, 1, length(origin0) - 4)
+         WHEN origin0 LIKE 'http://%' AND origin0 LIKE '%:80'
+           THEN substr(origin0, 1, length(origin0) - 3)
+         ELSE origin0 END AS origin
+  FROM s4
+),
+normed AS (
+  SELECT doc_id, url,
+    origin
+    || (CASE WHEN regexp_replace(rest, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(rest, '/+$', '') END)
+    || (CASE WHEN qf != '' THEN '?' || qf ELSE '' END) AS norm_url
+  FROM s5
+)
+"""
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL canonicalization map: fragment/tracking-param strip,
+    origin lowercasing, www./default-port removal, trailing-slash
+    collapse (functions.text.normalize_url, pure codegen)."""
+    from dedupe_trees_spark.functions.text import normalize_url
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("url", _messy_url(F.col("doc_id")))
+    return d.select("doc_id", "url", normalize_url("url").alias("norm_url"))
+
+
+SQL_URL_NORMALIZE = f"""
+WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+{_NORM_URL_SQL}
+SELECT doc_id, url, norm_url FROM normed
+"""
+
+
+def q_url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL dedup: collapse messy variants onto their
+    canonical URL; keeper = min doc_id per group (groupBy with map-side
+    partial agg — the same shape the re-crawl collapse uses at scale)."""
+    from dedupe_trees_spark.functions.text import normalize_url
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("url", _messy_url(F.col("doc_id")))
+    return (
+        d.select("doc_id", normalize_url("url").alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+SQL_URL_CANONICAL_GROUPS = f"""
+WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+{_NORM_URL_SQL}
+SELECT norm_url, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM normed GROUP BY norm_url
+"""
+
+
+QUERIES.update(
+    {
+        "paragraph_dup_stats": q_paragraph_dup_stats,
+        "paragraph_dedup_text": q_paragraph_dedup_text,
+        "repetition_scores": q_repetition_scores,
+        "url_normalize": q_url_normalize,
+        "url_canonical_groups": q_url_canonical_groups,
+    }
+)
+
+ORACLES.update(
+    {
+        "paragraph_dup_stats": SQL_PARAGRAPH_DUP_STATS,
+        "paragraph_dedup_text": SQL_PARAGRAPH_DEDUP_TEXT,
+        "repetition_scores": SQL_REPETITION_SCORES,
+        "url_normalize": SQL_URL_NORMALIZE,
+        "url_canonical_groups": SQL_URL_CANONICAL_GROUPS,
+    }
+)

@@ -113,3 +113,26 @@ def test_neardup_pairs_single_bucket_join_and_pair_dedup(spark):
     ]
     for l in verify_lines:
         assert l.count("aggregate(") <= 2  # dot = zip_with + aggregate, once
+
+
+def test_repetition_scores_is_pure_map(spark):
+    """Quality filters must be shuffle-free maps at 10^12 docs: no
+    Exchange anywhere, array work stays in one projection over the scan
+    (the materialized-array columns must not reintroduce a shuffle)."""
+    plan = _executed_plan(Q.QUERIES["repetition_scores"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    read_schema = next(l for l in plan.split("\n") if "ReadSchema" in l)
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_url_normalize_is_pure_map(spark):
+    plan = _executed_plan(Q.QUERIES["url_normalize"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_paragraph_dup_stats_partial_agg(spark):
+    """Boilerplate census: hot paragraphs must collapse map-side before
+    the one exchange (partial aggregation), not ride a window."""
+    plan = _executed_plan(Q.QUERIES["paragraph_dup_stats"](spark, SF_DIR))
+    assert "partial_count" in plan
+    assert "Window" not in plan
