@@ -148,3 +148,65 @@ def test_duration_ms_units_and_errors():
 
     with _pytest.raises(ValueError, match="unsupported duration unit"):
         _duration_ms("3 months")  # variable-length: deliberately excluded
+
+
+def test_streaming_neardup_folds_into_index(spark, tmp_path):
+    """Near-dup streaming = foreachBatch folds into the incremental
+    index. End state must equal the batch pipeline over everything
+    ingested (the parity theorem through the streaming glue), and the
+    per-epoch batch markers must exist (the exactly-once handle)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dedupe_trees_spark.config import PipelineConfig
+    from dedupe_trees_spark.datagen import GenConfig, generate_pages
+    from dedupe_trees_spark.io import read_stage
+    from dedupe_trees_spark.plans.incremental import init_index
+    from dedupe_trees_spark.plans.pipeline import DedupePipeline
+    from dedupe_trees_spark.streaming.neardup_stream import neardup_index_stream
+
+    root = tmp_path
+    all_inp, b1_inp, stream_dir = (
+        str(root / d) for d in ("all", "b1", "stream_in")
+    )
+    ckpt_full, idx_dir = str(root / "ckpt_full"), str(root / "index")
+    pages = generate_pages(spark, GenConfig(n_docs=600, seed=13), partitions=4)
+    pages.write.mode("overwrite").parquet(all_inp)
+    pages = spark.read.parquet(all_inp)
+    split = F.pmod(F.xxhash64("url"), F.lit(3))
+    pages.filter(split == 0).write.parquet(b1_inp)
+    # two stream files -> two micro-batches at maxFilesPerTrigger=1
+    pages.filter(split == 1).coalesce(1).write.mode("append").parquet(stream_dir)
+    pages.filter(split == 2).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    cfg_idx = PipelineConfig(input_path=b1_inp, ckpt_dir=idx_dir, bucket_cap=64)
+    init_index(spark, cfg_idx)
+    q = neardup_index_stream(spark, stream_dir, cfg_idx)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    markers = [
+        n for n in os.listdir(os.path.join(idx_dir, "signatures"))
+        if n.startswith("_BATCH_e")
+    ]
+    assert len(markers) == 2  # one idempotency marker per micro-batch
+
+    DedupePipeline(
+        spark, PipelineConfig(input_path=all_inp, ckpt_dir=ckpt_full, bucket_cap=64)
+    ).run()
+    full = read_stage(spark, ckpt_full, "canonical")
+    incr = read_stage(spark, idx_dir, "canonical")
+    assert full.count() == incr.count() == 600
+    assert incr.exceptAll(full).count() == 0
+    assert full.exceptAll(incr).count() == 0
+
+    # restart with the same stream checkpoint: nothing new -> no-op
+    q2 = neardup_index_stream(spark, stream_dir, cfg_idx)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert read_stage(spark, idx_dir, "canonical").count() == 600
