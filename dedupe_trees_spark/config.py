@@ -81,6 +81,16 @@ class PipelineConfig:
     # latest-crawl-wins rule. Off by default: it changes document
     # identity, so it must be a deliberate corpus-level choice.
     normalize_urls: bool = False
+    # CCNet-style pre-clean: corpus-wide paragraph-level exact dedup
+    # applied to text BEFORE signatures, so the document near-dup pass
+    # clusters on prose instead of shared boilerplate. Runs inline in
+    # the S1 job (two extra exchanges over paragraph rows; resumable
+    # through the signatures checkpoint like the inline band derive).
+    # Off by default: it rewrites document text, which breaks the
+    # byte-identical-text invariant vs the raw input by design.
+    paragraph_dedup: bool = False
+    # paragraph separator for the pre-clean split/rebuild
+    paragraph_sep: str = "\n\n"
     # node-id width. 64 = nid is xxhash64(url) (8-byte shuffles — right up
     # to ~10^9 docs). 128 = nid is a struct of two independently seeded
     # xxhash64s: at the 10^12-doc design point the 64-bit birthday bound
@@ -118,6 +128,12 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
         help="comma-separated resolver chain, applied in order",
     )
     p.add_argument("--no-resume", action="store_false", dest="resume")
+    p.add_argument(
+        "--paragraph-dedup", action="store_true", dest="paragraph_dedup",
+        help="CCNet-style pre-clean: remove corpus-wide repeated "
+        "paragraphs from text before the document-level dedup stages",
+    )
+    p.add_argument("--paragraph-sep", default="\n\n", dest="paragraph_sep")
     p.add_argument(
         "--normalize-urls", action="store_true", dest="normalize_urls",
         help="canonicalize urls at ingest (strip fragments/tracking "

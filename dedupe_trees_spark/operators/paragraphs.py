@@ -136,3 +136,38 @@ def paragraph_dedup(
     return docs.select(id_col).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce("clean_text", F.lit("")).alias("clean_text")
     )
+
+
+def preclean_paragraphs(
+    pages: DataFrame, text_col: str = "text", sep: str = "\n\n"
+) -> DataFrame:
+    """Corpus-wide paragraph dedup applied to a pages relation: the
+    CCNet composition — strip repeated boilerplate FIRST, so the
+    document-level near-dup pass downstream clusters on prose, not on
+    shared navigation/banner text. Returns ``pages`` with ``text_col``
+    replaced by the cleaned text (row count and all other columns
+    preserved; a pure-boilerplate page comes back with empty text and
+    falls to the usual length filters).
+
+    Row identity is a deterministic content key (xxhash64 over
+    url [+ warc_ts] + text), NOT the url: multi-crawl tables carry the
+    same url several times (the re-crawl rows S1's audit later
+    collapses), and keying on url would merge different crawls'
+    paragraph lists into one garbled document. Byte-identical re-crawl
+    rows share a key; exactly one representative is cleaned and the
+    join fans the result back to every copy.
+    """
+    key_cols = ["url"] + (["warc_ts"] if "warc_ts" in pages.columns else [])
+    staged = pages.withColumn("_pid", F.xxhash64(*key_cols, text_col))
+    docs = (
+        staged.select(F.col("_pid").alias("doc_id"), text_col)
+        .dropDuplicates(["doc_id"])
+    )
+    paras = explode_paragraphs(docs, text_col, sep)
+    clean = paragraph_dedup(docs, paras, sep).withColumnRenamed("doc_id", "_pid")
+    return (
+        staged.drop(text_col)
+        .join(clean, "_pid")
+        .withColumnRenamed("clean_text", text_col)
+        .drop("_pid")
+    )

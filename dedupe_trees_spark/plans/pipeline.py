@@ -334,6 +334,14 @@ class DedupePipeline:
         from dedupe_trees_spark.sources.pages import read_pages_any
 
         pages = read_pages_any(self.spark, self.cfg.input_path)
+        if self.cfg.paragraph_dedup:
+            # CCNet composition: strip corpus-wide repeated paragraphs
+            # before signatures so near-dup clusters form on prose, not
+            # boilerplate. Inline in the S1 job — the signatures
+            # checkpoint makes it resumable, same as the band derive.
+            from dedupe_trees_spark.operators.paragraphs import preclean_paragraphs
+
+            pages = preclean_paragraphs(pages, sep=self.cfg.paragraph_sep)
         return build_signatures(pages, self.cfg)
 
     def _build_bands(self) -> DataFrame:

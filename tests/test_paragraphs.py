@@ -168,3 +168,84 @@ def test_paragraph_dedup_matches_groupby_vs_window_formulations(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_preclean_paragraphs_rewrites_text_preserves_rows(spark):
+    from dedupe_trees_spark.operators.paragraphs import preclean_paragraphs
+
+    rows = [
+        ("u1", "boiler\n\nbody one"),
+        ("u2", "boiler\n\nbody two"),
+        ("u3", "boiler"),            # pure boilerplate -> emptied
+        ("u2", "boiler\n\nbody two"),  # byte-identical re-crawl row
+    ]
+    pages = spark.createDataFrame(rows, ["url", "text"])
+    out = preclean_paragraphs(pages)
+    got = sorted((r["url"], r["text"]) for r in out.collect())
+    # row count preserved; every body paragraph survives in its doc;
+    # exactly ONE row keeps the boilerplate (keeper order is the
+    # deterministic content-hash key, not url order); the two
+    # byte-identical u2 re-crawl rows get the identical cleaned text
+    assert len(got) == 4
+    # exactly one DISTINCT document keeps the boilerplate (identical
+    # re-crawl rows fan the keeper's cleaned text back to every copy)
+    assert len({(u, t) for u, t in got if "boiler" in t}) == 1
+    u2 = [t for u, t in got if u == "u2"]
+    assert len(u2) == 2 and u2[0] == u2[1] and "body two" in u2[0]
+    assert any("body one" in t for u, t in got if u == "u1")
+    # determinism: a second run produces the identical relation
+    got2 = sorted((r["url"], r["text"]) for r in preclean_paragraphs(pages).collect())
+    assert got2 == got
+
+
+def test_pipeline_paragraph_dedup_declusters_boilerplate_neardups(spark, tmp_path):
+    """The CCNet composition changes clustering the right way: two docs
+    that share a DOMINANT boilerplate block but have unrelated bodies
+    are near-dups on raw text (shingle Jaccard over mostly-boilerplate
+    shingles) and NOT dups once the pre-clean strips the boilerplate."""
+    from pyspark.sql import functions as F
+
+    from dedupe_trees_spark.config import PipelineConfig, from_args
+    from dedupe_trees_spark.plans.pipeline import DedupePipeline
+
+    boiler = " ".join(f"nav{i} cookie banner legal footer" for i in range(40))
+    rows = [
+        ("https://a.ex/1", boiler + "\n\nalpha prose only here " * 2),
+        ("https://a.ex/2", boiler + "\n\nbeta completely different words " * 2),
+        ("https://a.ex/3", "unrelated third document body " * 20),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "text"]).select(
+        "url",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("src1").alias("source"),
+    )
+    inp = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(inp)
+
+    def components(ckpt: str, **kw) -> int:
+        cfg = PipelineConfig(input_path=inp, ckpt_dir=ckpt, bucket_cap=16, **kw)
+        DedupePipeline(spark, cfg).run()
+        comps = spark.read.parquet(f"{ckpt}/components")
+        sigs = spark.read.parquet(f"{ckpt}/signatures").select("nid", "url", "norm")
+        return comps, sigs
+
+    comps_raw, _ = components(str(tmp_path / "ckpt_raw"))
+    # raw: docs 1+2 cluster on the shared boilerplate
+    assert comps_raw.select("component_id").distinct().count() == 2
+
+    comps_clean, sigs_clean = components(
+        str(tmp_path / "ckpt_clean"), paragraph_dedup=True
+    )
+    assert comps_clean.select("component_id").distinct().count() == 3
+    # exactly one doc keeps the boilerplate block (keeper order is the
+    # deterministic content key); every body survives in its own doc
+    norms = {r["url"]: r["norm"] for r in sigs_clean.collect()}
+    assert sum("cookie" in n for n in norms.values()) == 1
+    assert "alpha" in norms["https://a.ex/1"]
+    assert "beta" in norms["https://a.ex/2"]
+
+    # CLI surface
+    ns = from_args(["--input", inp, "--ckpt", "/tmp/x", "--paragraph-dedup"])
+    assert ns.paragraph_dedup and ns.paragraph_sep == "\n\n"
