@@ -1352,3 +1352,99 @@ ORACLES.update(
         "url_canonical_groups": SQL_URL_CANONICAL_GROUPS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Benchmark n-gram decontamination (operators/decontaminate.py, r4)
+# --------------------------------------------------------------------------
+# Fixture framing: every 23rd document plays the evaluation benchmark;
+# the rest are the training corpus. n=5 word-grams (the production rule
+# uses n=13; 5 keeps fixture-scale overlap nonzero at both contract SFs
+# — measured 5 contaminated docs at sf0.001, 2 at sf0.01).
+
+_DECONTAM_N = 5
+_DECONTAM_MOD = 23
+
+
+def _decontam_split(spark: SparkSession, sf_dir: str):
+    d = load(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % _DECONTAM_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+    return corpus, ev
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per corpus-doc benchmark-overlap report: distinct shared 5-grams,
+    distinct eval docs hit, contaminated flag. Eval-side grams broadcast;
+    corpus never shuffles (hits-only groupBy + broadcast join-back)."""
+    from dedupe_trees_spark.operators.decontaminate import contamination_report
+
+    corpus, ev = _decontam_split(spark, sf_dir)
+    return contamination_report(corpus, ev, n=_DECONTAM_N)
+
+
+SQL_BENCHMARK_CONTAMINATION = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(arr[i:i+{_DECONTAM_N - 1}], ' ') AS g
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - {_DECONTAM_N - 1})) AS i
+        FROM toks)
+),
+ev AS (SELECT DISTINCT g, doc_id AS ev_id FROM grams WHERE doc_id % {_DECONTAM_MOD} = 0),
+corp AS (SELECT doc_id, g FROM grams WHERE doc_id % {_DECONTAM_MOD} != 0),
+hits AS (
+  SELECT c.doc_id, count(DISTINCT c.g) AS n_hit_grams,
+         count(DISTINCT e.ev_id) AS n_eval_docs
+  FROM corp c JOIN ev e ON c.g = e.g GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+       coalesce(h.n_eval_docs, 0) AS n_eval_docs,
+       coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {_DECONTAM_MOD} != 0
+"""
+
+
+def q_decontam_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminated corpus itself (anti-join on the broadcast
+    contaminated-id set) — id + size so the oracle pins row identity."""
+    from dedupe_trees_spark.operators.decontaminate import decontaminate
+
+    corpus, ev = _decontam_split(spark, sf_dir)
+    return decontaminate(corpus, ev, n=_DECONTAM_N).select("doc_id", "n_chars")
+
+
+SQL_DECONTAM_SURVIVORS = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(arr[i:i+{_DECONTAM_N - 1}], ' ') AS g
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - {_DECONTAM_N - 1})) AS i
+        FROM toks)
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_DECONTAM_MOD} = 0),
+dirty AS (
+  SELECT DISTINCT c.doc_id FROM grams c JOIN ev e ON c.g = e.g
+  WHERE c.doc_id % {_DECONTAM_MOD} != 0
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id % {_DECONTAM_MOD} != 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+"""
+
+
+QUERIES.update(
+    {
+        "benchmark_contamination": q_benchmark_contamination,
+        "decontam_survivors": q_decontam_survivors,
+    }
+)
+
+ORACLES.update(
+    {
+        "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
+        "decontam_survivors": SQL_DECONTAM_SURVIVORS,
+    }
+)
