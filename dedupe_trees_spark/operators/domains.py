@@ -1,0 +1,162 @@
+"""Per-domain corpus shaping: stats, caps, and deterministic sampling.
+
+Web-scale training pipelines bound how much any one registered domain
+contributes (content farms and mirror hosts otherwise dominate the
+token budget) and draw reproducible mixture samples per stratum
+(language, source, quality band). Reference parity: dedupe_trees has
+no corpus-shaping operators (SURVEY.md §2.1); these are part of the
+mandated training-data superset.
+
+Operators:
+
+* ``extract_domain`` — pure-codegen host extraction (scheme strip,
+  lowercase, port strip, leading-``www.`` strip), oracle-mirrored.
+* ``domain_cap`` — keep at most ``cap`` documents per domain,
+  deterministically (the ``cap`` smallest ``(order_col, id_col)`` keys).
+  Built WINDOW-FREE: the textbook ``row_number() OVER (PARTITION BY
+  domain)`` funnels every row of a hot domain (10^7+ docs for a large
+  content farm) into one task. Here each task computes its own per-salt
+  top-``cap`` with ``sort_array``+``slice`` over groups of ~m/S rows,
+  a second agg merges the ≤ S·cap per-domain survivors into the exact
+  cap-th-smallest threshold key, and the corpus is filtered by
+  ``key <= threshold`` (keys are unique, so exactly min(m, cap) rows
+  survive per domain). The window twin (``domain_cap_window``) exists
+  only as the oracle for the equivalence pytest — same adjudication as
+  ``operators/paragraphs.py``'s keeper.
+* ``deterministic_sample`` / ``stratified_sample`` — reproducible,
+  engine-portable sampling: keep a row iff the first 8 hex chars of
+  ``md5(key)`` sort below the fraction's hex threshold. md5 hex is
+  lowercase in both Spark and DuckDB, so the predicate is oracle-exact
+  (unlike xxhash64, which DuckDB lacks), stable under repartitioning,
+  and needs no RNG state — the property that matters when a 100 TB
+  sample must be reproducible across reruns and engines.
+
+Scale notes: ``domain_cap`` shuffles (domain, salt) partial top-caps —
+S·cap rows per domain, NOT the corpus — then joins thresholds back on
+``domain``. The threshold table is one row per domain; it is broadcast
+when ``broadcast_thresholds=True`` (default — fine up to ~10^7
+domains), else a sort-merge join on domain with AQE skew handling.
+Sampling is a pure filter: zero exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fraction of the 32-bit md5-prefix space, as an 8-hex-digit string
+_MD5_SPACE = 1 << 32
+
+
+def _frac_threshold(frac: float) -> str:
+    """Hex string T such that P(md5_prefix8 < T) == frac (to 1/2^32)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {frac}")
+    return format(min(int(frac * _MD5_SPACE), _MD5_SPACE - 1), "08x")
+
+
+def extract_domain(url: Column | str) -> Column:
+    """Registered host of a URL: scheme/port/leading-www stripped,
+    lowercased. Pure codegen; mirrored 1:1 by SQL_DOMAIN in queries.py."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_extract(F.lower(c), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(host, r":\d+$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "domain",
+    order_col: str = "url",
+    id_col: str = "doc_id",
+    salts: int = 64,
+    broadcast_thresholds: bool = True,
+) -> DataFrame:
+    """Keep the ``cap`` smallest ``(order_col, id_col)`` rows per domain.
+
+    Exact and deterministic for unique ``(order_col, id_col)`` keys;
+    window-free and skew-safe (see module docstring).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    key = F.struct(F.col(order_col), F.col(id_col))
+    keyed = df.withColumn("_key", key)
+    salt = F.pmod(F.xxhash64(F.col(order_col), F.col(id_col)), F.lit(salts))
+    partial = (
+        keyed.groupBy(F.col(domain_col), salt.alias("_salt"))
+        .agg(F.slice(F.sort_array(F.collect_list("_key")), 1, cap).alias("_top"))
+    )
+    thresholds = (
+        partial.groupBy(domain_col)
+        .agg(
+            F.slice(F.sort_array(F.flatten(F.collect_list("_top"))), 1, cap)
+            .alias("_merged")
+        )
+        # cap-th smallest key, or the largest present if the domain has
+        # fewer than cap rows (then the filter keeps everything)
+        .select(
+            domain_col,
+            F.element_at("_merged", F.least(F.size("_merged"), F.lit(cap)))
+            .alias("_thr"),
+        )
+    )
+    if broadcast_thresholds:
+        thresholds = F.broadcast(thresholds)
+    return (
+        keyed.join(thresholds, domain_col)
+        .filter(F.col("_key") <= F.col("_thr"))
+        .drop("_key", "_thr")
+    )
+
+
+def domain_cap_window(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "domain",
+    order_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Textbook row_number formulation — the equivalence oracle for
+    ``domain_cap``. NOT for production: hot domains serialize."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(order_col, id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, frac: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible ~``frac`` sample: md5-prefix threshold on ``key_col``.
+
+    Pure filter (no exchange, no RNG state); identical row set in any
+    engine with lowercase-hex md5 — the DuckDB oracle runs the same
+    predicate verbatim.
+    """
+    pref = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    return df.filter(pref < _frac_threshold(frac))
+
+
+def stratified_sample(
+    df: DataFrame, fractions: dict[str, float], strata_col: str,
+    key_col: str = "doc_id", default_frac: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sample (mixture weighting).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not
+    listed keep ``default_frac``. Same md5-prefix predicate as
+    ``deterministic_sample``, with the threshold chosen per row by the
+    stratum column — still a pure filter.
+    """
+    thr = F.lit(_frac_threshold(default_frac))
+    for val, frac in fractions.items():
+        thr = F.when(
+            F.col(strata_col) == val, F.lit(_frac_threshold(frac))
+        ).otherwise(thr)
+    pref = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    return df.filter(pref < thr)

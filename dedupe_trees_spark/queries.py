@@ -1448,3 +1448,112 @@ ORACLES.update(
         "decontam_survivors": SQL_DECONTAM_SURVIVORS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Per-domain corpus shaping (operators/domains.py, r4)
+# --------------------------------------------------------------------------
+# Domains come from the same deterministic messy-crawl URLs as the URL
+# canonicalization queries (7 hosts, case/www/port noise included).
+
+_SQL_DOMAIN = r"""regexp_replace(regexp_replace(regexp_extract(lower(url),
+  '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', ''), '^www\.', '')"""
+
+_DOMAIN_CAP = 40
+
+
+def _docs_with_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedupe_trees_spark.operators.domains import extract_domain
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = d.withColumn("url", _messy_url(F.col("doc_id")))
+    return d.withColumn("domain", extract_domain("url"))
+
+
+def q_domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus census (host extraction is pure codegen; one
+    map-side-combined groupBy)."""
+    return (
+        _docs_with_domain(spark, sf_dir)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+SQL_DOMAIN_DOC_STATS = f"""
+WITH raw AS (SELECT doc_id, n_chars, {_MESSY_URL_SQL} AS url FROM documents),
+dom AS (SELECT doc_id, n_chars, {_SQL_DOMAIN} AS domain FROM raw)
+SELECT domain, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       min(doc_id) AS first_doc_id
+FROM dom GROUP BY domain
+"""
+
+
+def q_domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap: the 40 smallest (url, doc_id) keys
+    per domain survive — computed window-free (salted two-phase top-K +
+    threshold filter, operators/domains.py::domain_cap) so hot domains
+    never serialize into one task."""
+    from dedupe_trees_spark.operators.domains import domain_cap
+
+    d = _docs_with_domain(spark, sf_dir)
+    return domain_cap(d, _DOMAIN_CAP).select("doc_id", "domain")
+
+
+SQL_DOMAIN_CAPPED_SAMPLE = f"""
+WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+dom AS (SELECT doc_id, url, {_SQL_DOMAIN} AS domain FROM raw),
+ranked AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY url, doc_id) AS rn
+  FROM dom
+)
+SELECT doc_id, domain FROM ranked WHERE rn <= {_DOMAIN_CAP}
+"""
+
+
+def q_stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting: deterministic md5-threshold sample keeping
+    ~60% of en and ~25% of every other language, then a per-lang census
+    of the kept set. Pure filter + one groupBy; reproducible across
+    engines and repartitionings (no RNG state)."""
+    from dedupe_trees_spark.operators.domains import stratified_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    kept = stratified_sample(
+        d, fractions={"en": 0.6}, strata_col="lang", default_frac=0.25
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE_STATS = """
+SELECT lang, count(*) AS n_kept, sum(n_chars) AS kept_chars
+FROM documents
+WHERE substr(md5(cast(doc_id AS VARCHAR)), 1, 8)
+      < (CASE WHEN lang = 'en' THEN '99999999' ELSE '40000000' END)
+GROUP BY lang
+"""
+
+
+QUERIES.update(
+    {
+        "domain_doc_stats": q_domain_doc_stats,
+        "domain_capped_sample": q_domain_capped_sample,
+        "stratified_sample_stats": q_stratified_sample_stats,
+    }
+)
+
+ORACLES.update(
+    {
+        "domain_doc_stats": SQL_DOMAIN_DOC_STATS,
+        "domain_capped_sample": SQL_DOMAIN_CAPPED_SAMPLE,
+        "stratified_sample_stats": SQL_STRATIFIED_SAMPLE_STATS,
+    }
+)

@@ -1,0 +1,102 @@
+"""Per-domain caps, host extraction, deterministic sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_trees_spark.operators.domains import (
+    deterministic_sample,
+    domain_cap,
+    domain_cap_window,
+    extract_domain,
+    stratified_sample,
+)
+
+
+def test_extract_domain_variants(spark):
+    rows = [
+        (1, "https://www.Site3.COM:443/p/1?x=1#f"),
+        (2, "HTTPS://site3.com/p/2"),
+        (3, "http://sub.www.example.org:8080/"),
+        (4, "ftp://WWW.files.net"),
+    ]
+    d = spark.createDataFrame(rows, ["id", "url"])
+    got = {r["id"]: r["d"] for r in d.select("id", extract_domain("url").alias("d")).collect()}
+    # leading www. strips; an interior ".www." does not
+    assert got == {1: "site3.com", 2: "site3.com", 3: "sub.www.example.org", 4: "files.net"}
+
+
+def _corpus(spark, n=400, hot_frac=0.7):
+    """n docs, one hot domain holding hot_frac of them, 5 cold domains."""
+    hot = int(n * hot_frac)
+    rows = [(i, f"https://hot.com/p/{i:05d}", "hot.com") for i in range(hot)]
+    rows += [
+        (i, f"https://cold{i % 5}.com/p/{i:05d}", f"cold{i % 5}.com")
+        for i in range(hot, n)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "url", "domain"])
+
+
+def test_domain_cap_matches_window_formulation(spark):
+    d = _corpus(spark)
+    a = domain_cap(d, 25, salts=8).select("doc_id", "domain")
+    b = domain_cap_window(d, 25).select("doc_id", "domain")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # hot domain exactly at the cap; under-cap domains keep everything
+    sizes = {r["domain"]: r["n"] for r in a.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert sizes["hot.com"] == 25
+    assert all(v <= 25 for v in sizes.values())
+
+
+def test_domain_cap_deterministic_across_partitionings(spark):
+    d = _corpus(spark)
+    a = domain_cap(d, 10, salts=4).select("doc_id").collect()
+    b = domain_cap(d.repartition(13, "doc_id"), 10, salts=32).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+
+
+def test_domain_cap_under_cap_domains_untouched(spark):
+    d = _corpus(spark, n=40, hot_frac=0.25)  # every domain < cap
+    assert domain_cap(d, 100).count() == 40
+
+
+def test_domain_cap_plan_is_window_free(spark):
+    d = _corpus(spark)
+    plan = domain_cap(d, 25)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # thresholds side broadcast
+
+
+def test_deterministic_sample_reproducible_and_sized(spark):
+    d = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    a = deterministic_sample(d, 0.3).collect()
+    b = deterministic_sample(d.repartition(7), 0.3).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert abs(len(a) / 20000 - 0.3) < 0.02  # md5 uniformity
+    # edges: frac 0 keeps nothing, frac 1 keeps everything
+    assert deterministic_sample(d, 0.0).count() == 0
+    assert deterministic_sample(d, 1.0).count() == 20000
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark):
+    d = spark.range(0, 30000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept = stratified_sample(d, {"en": 0.5}, "lang", default_frac=0.1)
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] / 10000 - 0.5) < 0.03
+    assert abs(counts["de"] / 20000 - 0.1) < 0.03
+    # membership is per-key deterministic: the en subset at 0.5 contains
+    # the en subset at 0.25 (thresholds nest)
+    k25 = stratified_sample(d, {"en": 0.25}, "lang", default_frac=0.0)
+    assert k25.exceptAll(kept).count() == 0
+
+
+def test_sample_rejects_bad_fraction(spark):
+    d = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        deterministic_sample(d, 1.5).count()
+    with pytest.raises(ValueError):
+        domain_cap(d.withColumn("domain", F.lit("x")).withColumn("url", F.lit("u")), 0)
