@@ -99,6 +99,17 @@ class PipelineConfig:
     # every downstream min/least/groupBy/join works unchanged; shuffles
     # carry 16 id bytes instead of 8.
     nid_bits: int = 64
+    # training-set export (stage "training_set", runs after canonical
+    # when any of the three is set): the deduped kept pages are
+    # optionally decontaminated against an eval parquet (n-gram
+    # overlap, operators/decontaminate.py), capped per domain
+    # (operators/domains.py::domain_cap), and down-sampled with the
+    # deterministic md5-threshold filter — the dedupe → decontaminate →
+    # domain-cap → sample order real training pipelines use.
+    decontam_eval_path: str | None = None
+    decontam_n: int = 13
+    domain_cap: int = 0  # 0 = no per-domain cap
+    sample_frac: float = 1.0  # 1.0 = keep everything
 
 
 def from_args(argv: list[str] | None = None) -> PipelineConfig:
@@ -134,6 +145,23 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
         "paragraphs from text before the document-level dedup stages",
     )
     p.add_argument("--paragraph-sep", default="\n\n", dest="paragraph_sep")
+    p.add_argument(
+        "--decontam-eval", default=None, dest="decontam_eval_path",
+        help="parquet of benchmark docs (needs a text column); kept "
+        "pages sharing any n-gram with it are dropped from the "
+        "training-set export",
+    )
+    p.add_argument("--decontam-n", type=int, default=13, dest="decontam_n")
+    p.add_argument(
+        "--domain-cap", type=int, default=0, dest="domain_cap",
+        help="keep at most this many pages per registered domain in the "
+        "training-set export (0 = uncapped)",
+    )
+    p.add_argument(
+        "--sample-frac", type=float, default=1.0, dest="sample_frac",
+        help="deterministic md5-threshold sample fraction applied last "
+        "in the training-set export",
+    )
     p.add_argument(
         "--normalize-urls", action="store_true", dest="normalize_urls",
         help="canonicalize urls at ingest (strip fragments/tracking "

@@ -11,6 +11,10 @@
                                                            [checkpoint]
     S4 components:  connected components over pairs        [checkpoint]
     S5 canonical:   resolver window → canonical + removals [checkpoint]
+    S6 training_set (optional, when any shaping flag is set):
+                    deduped kept pages → decontaminate vs an eval
+                    parquet → per-domain cap → deterministic sample
+                                                           [checkpoint]
 
 Node identity: every stage after S1 keys documents by ``nid`` instead
 of the url string (~60–80 bytes for web urls) — bands, candidate pairs,
@@ -459,6 +463,50 @@ class DedupePipeline:
             "rank", "is_canonical",
         )
 
+    def _shaping_enabled(self) -> bool:
+        c = self.cfg
+        return bool(c.decontam_eval_path) or c.domain_cap > 0 or c.sample_frac < 1.0
+
+    def _build_training_set(self) -> DataFrame:
+        """S6: the exported training corpus — deduped kept pages run
+        through decontamination, the per-domain cap, and the
+        deterministic sample, in that order (each optional).
+
+        Scale shape: the kept set is scanned, never shuffled — the
+        decontaminate probe and join-back are broadcast, domain_cap
+        shuffles only S·cap threshold-candidate rows per domain plus
+        the broadcast threshold filter, and the sample is a pure
+        filter. Urls are unique here (the S1 audit collapsed re-crawl
+        duplicates), which is what makes the cap's key exact.
+        """
+        from dedupe_trees_spark.operators.decontaminate import decontaminate
+        from dedupe_trees_spark.operators.domains import (
+            deterministic_sample,
+            domain_cap,
+            extract_domain,
+        )
+
+        cfg = self.cfg
+        out = self.deduped_pages()
+        if cfg.decontam_eval_path:
+            ev = self.spark.read.parquet(cfg.decontam_eval_path)
+            out = decontaminate(
+                out, ev, n=cfg.decontam_n, text_col="text", id_col="url"
+            )
+        if cfg.domain_cap > 0:
+            out = (
+                domain_cap(
+                    out.withColumn("domain", extract_domain("url")),
+                    cfg.domain_cap,
+                    order_col="url",
+                    id_col="url",
+                )
+                .drop("domain")
+            )
+        if cfg.sample_frac < 1.0:
+            out = deterministic_sample(out, cfg.sample_frac, key_col="url")
+        return out
+
     def _audit_ids(self) -> None:
         """Enforce the document-identity invariant: ONE signatures row
         per nid.
@@ -555,11 +603,14 @@ class DedupePipeline:
             "pairs": self._build_pairs,
             "components": self._build_components,
             "canonical": self._build_canonical,
+            "training_set": self._build_training_set,
         }
         enabled = [
             s for s in STAGES
             if s != "bands" or (self.cfg.enable_minhash and self.cfg.checkpoint_bands)
         ]
+        if self._shaping_enabled():
+            enabled.append("training_set")
         report = {}
         base_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
         from dedupe_trees_spark.io import mark, marked
@@ -696,3 +747,6 @@ class DedupePipeline:
         """Delete-sink analogue (R11): input pages minus removals."""
         pages = read_pages(self.spark, self.cfg.input_path)
         return R.apply_delete_sink(pages, self.removals())
+
+    def training_set(self) -> DataFrame:
+        return read_stage(self.spark, self.cfg.ckpt_dir, "training_set")

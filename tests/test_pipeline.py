@@ -468,3 +468,78 @@ def test_from_args_scratch_dir_roundtrip():
     )
     assert cfg.scratch_dir == "/fast/sc"
     assert from_args(["--input", "/i", "--ckpt", "/c"]).scratch_dir is None
+
+
+def test_training_set_export_end_to_end(spark, tmp_path):
+    """S6 shaping: dedupe → decontaminate → domain-cap → sample, each
+    visible in the exported stage, with resume a no-op."""
+    inp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    evp = str(tmp_path / "eval")
+    generate_pages(spark, GenConfig(n_docs=400, seed=7), partitions=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    # eval set = the text of 5 input pages (verbatim 13-gram overlap)
+    pages = spark.read.parquet(inp)
+    pages.orderBy("url").limit(5).select("url", "text").write.mode(
+        "overwrite"
+    ).parquet(evp)
+    ev_urls = {r["url"] for r in spark.read.parquet(evp).select("url").collect()}
+
+    cfg = PipelineConfig(
+        input_path=inp, ckpt_dir=ckpt, bucket_cap=64,
+        decontam_eval_path=evp, decontam_n=13, domain_cap=25,
+        sample_frac=0.9,
+    )
+    pipe = DedupePipeline(spark, cfg)
+    report = pipe.run()
+    assert stage_done(ckpt, "training_set")
+    assert report["training_set"]["rows_out"] > 0
+
+    out = pipe.training_set()
+    # decontamination: no exported page may carry an eval page's text
+    # (the eval pages themselves — or their dup-cluster survivors —
+    # share all their 13-grams with the eval set)
+    got_urls = {r["url"] for r in out.select("url").collect()}
+    assert not (got_urls & ev_urls)
+    # domain cap holds
+    from dedupe_trees_spark.operators.domains import extract_domain
+
+    sizes = (
+        out.withColumn("d", extract_domain("url")).groupBy("d").count().collect()
+    )
+    assert all(r["count"] <= 25 for r in sizes)
+    # the export is a subset of the deduped kept pages
+    kept = pipe.deduped_pages().select("url")
+    assert out.select("url").exceptAll(kept).count() == 0
+    # sample took a bite but not everything
+    assert 0 < out.count() < kept.count()
+
+    # resume: second run skips everything, output identical
+    out1 = sorted(r["url"] for r in out.collect())
+    report2 = DedupePipeline(spark, cfg).run()
+    assert report2["training_set"].get("skipped")
+    out2 = sorted(
+        r["url"] for r in DedupePipeline(spark, cfg).training_set().collect()
+    )
+    assert out1 == out2
+
+
+def test_training_set_absent_without_shaping_flags(pipeline_run):
+    spark, gcfg, cfg, pipe, report, inp, ckpt = pipeline_run
+    assert "training_set" not in report
+    assert not stage_done(ckpt, "training_set")
+
+
+def test_from_args_shaping_flags():
+    cfg = from_args(
+        [
+            "--input", "i", "--ckpt", "c",
+            "--decontam-eval", "/tmp/ev", "--decontam-n", "8",
+            "--domain-cap", "100", "--sample-frac", "0.5",
+        ]
+    )
+    assert cfg.decontam_eval_path == "/tmp/ev"
+    assert cfg.decontam_n == 8
+    assert cfg.domain_cap == 100
+    assert cfg.sample_frac == 0.5
