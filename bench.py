@@ -93,6 +93,9 @@ def main() -> int:
         "lang_id",
         "paragraph_dedup_text",
         "repetition_scores",
+        "benchmark_contamination",
+        "domain_capped_sample",
+        "stratified_sample_stats",
     ]
     qs = Q.QUERIES
     for name in bench_queries:
