@@ -55,3 +55,58 @@ def test_band_count_monotonicity(spark):
         }
     assert found[4] <= found[16] <= found[32]
     sigs.unpersist()
+
+
+def test_domain_cap_equals_window_on_random_corpora(spark):
+    """Randomized (seeded) adversarial inputs: ragged domain sizes, caps
+    around the size boundaries — the salted two-phase cap must equal the
+    window formulation exactly, for every salt count."""
+    import random
+
+    from dedupe_trees_spark.operators.domains import domain_cap, domain_cap_window
+
+    rng = random.Random(1234)
+    for round_i in range(3):
+        rows = []
+        for d in range(rng.randint(2, 8)):
+            size = rng.choice([1, 2, 3, rng.randint(4, 60)])
+            for i in range(size):
+                rows.append((d * 10_000 + i, f"https://d{d}.com/{rng.random():.10f}", f"d{d}.com"))
+        df = spark.createDataFrame(rows, ["doc_id", "url", "domain"]).repartition(5)
+        cap = rng.choice([1, 2, 5, 37])
+        salts = rng.choice([1, 3, 64])
+        a = domain_cap(df, cap, salts=salts).select("doc_id")
+        b = domain_cap_window(df, cap).select("doc_id")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, (
+            round_i, cap, salts,
+        )
+
+
+def test_decontaminate_consistent_with_report(spark):
+    """Survivor set == corpus minus report-contaminated ids, for random
+    corpora in a tiny token alphabet (maximal accidental overlap)."""
+    import random
+
+    from dedupe_trees_spark.operators.decontaminate import (
+        contamination_report,
+        decontaminate,
+    )
+
+    rng = random.Random(99)
+    toks = list("abcdefg")
+    def doc(k):
+        return " ".join(rng.choice(toks) for _ in range(k))
+
+    corpus = spark.createDataFrame(
+        [(i, doc(rng.randint(1, 30))) for i in range(120)], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [(1000 + i, doc(rng.randint(1, 15))) for i in range(10)], ["doc_id", "text"]
+    )
+    rep = contamination_report(corpus, ev, n=4)
+    clean_ids = sorted(
+        r["doc_id"] for r in rep.filter(~F.col("contaminated")).collect()
+    )
+    kept_ids = sorted(r["doc_id"] for r in decontaminate(corpus, ev, n=4).collect())
+    assert clean_ids == kept_ids
+    assert rep.count() == 120  # report covers every corpus row exactly once
