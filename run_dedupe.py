@@ -34,6 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     seed = int(pop_opt("--seed", "42"))
     sequester_dir = pop_opt("--sequester")   # R12 sink: removals moved aside
     manifest_dir = pop_opt("--manifest")     # R13 sink: removal list (csv)
+    training_out = pop_opt("--training-out") # S6 sink: exported training set
     warmup = "--warmup" in argv
     if warmup:
         argv.remove("--warmup")
@@ -96,6 +97,16 @@ def main(argv: list[str] | None = None) -> int:
             apply_sequester_sink(read_pages(spark, cfg.input_path), removed, sequester_dir)
         if manifest_dir:
             write_manifest(removed, manifest_dir)
+
+    if training_out:
+        # publish the shaped corpus (or plain deduped pages when no
+        # shaping flag is set) outside the checkpoint dir
+        out = (
+            pipe.training_set()
+            if "training_set" in report
+            else pipe.deduped_pages()
+        )
+        out.write.mode("overwrite").parquet(training_out)
 
     canon = pipe.canonical()
     n_total = canon.count()

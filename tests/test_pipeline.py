@@ -543,3 +543,32 @@ def test_from_args_shaping_flags():
     assert cfg.decontam_n == 8
     assert cfg.domain_cap == 100
     assert cfg.sample_frac == 0.5
+
+
+def test_training_out_cli_sink(spark, tmp_path, capsys):
+    """--training-out publishes the shaped corpus outside the ckpt dir."""
+    import json as _json
+
+    import run_dedupe
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "train")
+    generate_pages(spark, GenConfig(n_docs=300, seed=11), partitions=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    rc = run_dedupe.main(
+        [
+            "--input", inp, "--ckpt", str(tmp_path / "ckpt"),
+            "--bucket-cap", "64", "--domain-cap", "30",
+            "--training-out", out,
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    published = spark.read.parquet(out)
+    from dedupe_trees_spark.operators.domains import extract_domain
+
+    assert published.count() > 0
+    assert {"url", "text"} <= set(published.columns)
+    sizes = published.withColumn("d", extract_domain("url")).groupBy("d").count()
+    assert all(r["count"] <= 30 for r in sizes.collect())
