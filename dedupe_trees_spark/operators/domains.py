@@ -77,6 +77,13 @@ def domain_cap(
 
     Exact and deterministic for unique ``(order_col, id_col)`` keys;
     window-free and skew-safe (see module docstring).
+
+    Memory sizing: the phase-1 aggregation buffers ``m_domain / salts``
+    KEYS (url+id structs, ~100 B each — never full rows) per group.
+    The default 64 keeps a 10^7-doc domain at ~16 MB/group; size
+    ``salts`` so the hottest expected domain over ``salts`` stays
+    around 10^5 keys (e.g. 10^9-doc domain → salts=10^4; the phase-2
+    merge then still sees only ``salts × cap`` rows per domain).
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
