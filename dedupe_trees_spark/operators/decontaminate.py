@@ -52,6 +52,7 @@ def ngram_rows(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "gram",
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct (id, gram) rows: all stride-1 n-word-grams of ``text_col``.
 
@@ -62,6 +63,14 @@ def ngram_rows(
     decontamination pass could possibly have; ``array_distinct`` keeps
     it pipeline-local, so the output is distinct per doc with zero
     exchanges.
+
+    ``hashed=True`` emits ``xxhash64`` of the token-array slice instead
+    of the joined gram string — no per-gram string is ever built
+    (xxhash64 consumes the array directly), which removes the dominant
+    allocation of the whole pass (~n×text bytes of gram strings).
+    Identity is preserved: tokens cannot contain the separator, so
+    slice equality ⇔ joined-string equality; only hash collisions
+    differ, and those can only over-flag (module notes).
     """
     toks = F.split(F.col(text_col), " ")
     df = df.select(id_col, toks.alias("_toks"))  # materialize before lambdas
@@ -70,18 +79,18 @@ def ngram_rows(
         F.size(tcol) >= n,
         F.sequence(F.lit(1), F.size(tcol) - (n - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tcol, i, n)))
-    )
+    if hashed:
+        build = lambda i: F.xxhash64(F.slice(tcol, i, n))  # noqa: E731
+    else:
+        build = lambda i: F.concat_ws(" ", F.slice(tcol, i, n))  # noqa: E731
+    grams = F.array_distinct(F.transform(starts, build))
     return df.select(id_col, F.explode(grams).alias(out_col))
 
 
-def _keyed(grams: DataFrame, join_on: str, gram_col: str = "gram") -> DataFrame:
-    if join_on == "hash":
-        return grams.withColumn(gram_col, F.xxhash64(F.col(gram_col)))
-    if join_on != "gram":
+def _check_join_on(join_on: str) -> bool:
+    if join_on not in ("gram", "hash"):
         raise ValueError(f"join_on must be 'gram' or 'hash', got {join_on!r}")
-    return grams
+    return join_on == "hash"
 
 
 def contamination_report(
@@ -100,11 +109,11 @@ def contamination_report(
     of the gram string (8-byte broadcast entries; see module notes).
     """
     eid = eval_id_col or id_col
-    ev = _keyed(
-        ngram_rows(eval_df, n, text_col, eid).withColumnRenamed(eid, "_ev_id"),
-        join_on,
+    hashed = _check_join_on(join_on)
+    ev = ngram_rows(eval_df, n, text_col, eid, hashed=hashed).withColumnRenamed(
+        eid, "_ev_id"
     )
-    cg = _keyed(ngram_rows(corpus, n, text_col, id_col), join_on)
+    cg = ngram_rows(corpus, n, text_col, id_col, hashed=hashed)
     hits = (
         cg.join(F.broadcast(ev), "gram")
         .groupBy(id_col)
@@ -140,11 +149,14 @@ def decontaminate(
     is scanned once and never shuffled.
     """
     eid = eval_id_col or id_col
-    ev = _keyed(
-        ngram_rows(eval_df, n, text_col, eid).select("gram").distinct(), join_on
+    hashed = _check_join_on(join_on)
+    ev = (
+        ngram_rows(eval_df, n, text_col, eid, hashed=hashed)
+        .select("gram")
+        .distinct()
     )
     dirty = (
-        _keyed(ngram_rows(corpus, n, text_col, id_col), join_on)
+        ngram_rows(corpus, n, text_col, id_col, hashed=hashed)
         .join(F.broadcast(ev), "gram")
         .select(id_col)
         .distinct()
