@@ -14,8 +14,10 @@ given core count, timing each phase separately:
 
 Run at two core counts (e.g. 2 and 8) for the N→4N efficiency pair.
 
-Usage: python tools/shaping_scale.py [pages_parquet] [cores] [OUT.json]
-Prints one JSON document (and writes OUT.json if given).
+Usage: python tools/shaping_scale.py [pages_parquet] [cores] [OUT.json] [gram|hash]
+Prints one JSON document (and writes OUT.json if given). The 4th arg
+selects the decontamination join key (default gram; hash = the
+documented scale path, xxhash64 over the token-array slice).
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ def main() -> int:
     pages_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_bench/pages_16m"
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    join_on = sys.argv[4] if len(sys.argv) > 4 else "gram"
 
     from pyspark.sql import functions as F
 
@@ -58,13 +61,13 @@ def main() -> int:
     pages = spark.read.parquet(pages_path).select("url", "text")
     ev = pages.filter(F.xxhash64("url") % 100 == 0)
     corpus = pages.filter(F.xxhash64("url") % 100 != 0)
-    res: dict = {"input": pages_path, "cores": cores}
+    res: dict = {"input": pages_path, "cores": cores, "join_on": join_on}
     n_docs = corpus.count()
     res["n_docs"] = n_docs
     res["n_eval"] = ev.count()
 
     t0 = time.time()
-    rep = contamination_report(corpus, ev, n=13, text_col="text", id_col="url")
+    rep = contamination_report(corpus, ev, n=13, text_col="text", id_col="url", join_on=join_on)
     n_contam = rep.filter("contaminated").count()
     wall = time.time() - t0
     res["report"] = {
@@ -75,7 +78,7 @@ def main() -> int:
     print(json.dumps({"phase": "report", **res["report"]}), flush=True)
 
     t0 = time.time()
-    n_kept = decontaminate(corpus, ev, n=13, text_col="text", id_col="url").count()
+    n_kept = decontaminate(corpus, ev, n=13, text_col="text", id_col="url", join_on=join_on).count()
     wall = time.time() - t0
     res["decontaminate"] = {
         "wall_sec": round(wall, 1),
