@@ -163,3 +163,32 @@ def normalize_url(col: Column | str) -> Column:
         path,
         F.when(qf != "", F.concat(F.lit("?"), qf)).otherwise(F.lit("")),
     )
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Extract visible text from an HTML string — pure codegen, no UDF.
+
+    The input_hint's per-row invariant is "byte-identical extracted
+    text per url": on Common-Crawl-style pages whose ``html`` wraps the
+    stored ``text`` (the datagen corpus, and the WARC convention the
+    fixture mirrors), this extraction reproduces ``text`` exactly —
+    pytest-pinned end-to-end and oracle-checked cross-engine.
+
+    Rules (applied in order; every pattern is RE2-compatible, no
+    backreferences, so the DuckDB oracle twin runs the SAME patterns):
+    script blocks, style blocks, comments, all remaining tags, then
+    the five basic entities with ``&amp;`` decoded LAST so encoded
+    entities don't double-decode. Binary html columns decode with
+    ``F.decode(col, 'UTF-8')`` before this.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", "")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", "")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", "")
+    c = F.regexp_replace(c, r"<[^>]*>", "")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c

@@ -1557,3 +1557,65 @@ ORACLES.update(
         "stratified_sample_stats": SQL_STRATIFIED_SAMPLE_STATS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# HTML text extraction (functions/text.py::html_to_text, r4)
+# --------------------------------------------------------------------------
+# input_hint invariant: "byte-identical extracted text per url". The
+# fixture documents carry no html column, so the query wraps each text
+# in a deterministic page shell (script + style + comment + body tags —
+# exercising every extraction rule) and proves the extraction gives the
+# original text back byte-identically, cross-engine.
+
+_HTML_SHELL_PRE = (
+    "<html><head><script>var x=1;</script><style>p{color:red}</style>"
+    "</head><body><!-- nav -->"
+)
+_HTML_SHELL_POST = "</body></html>"
+
+
+def q_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag/script/style/comment strip + entity decode, pure codegen
+    (zero UDF, zero exchange); roundtrip_ok pins byte-identity."""
+    from dedupe_trees_spark.functions.text import html_to_text
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn(
+        "html",
+        F.concat(F.lit(_HTML_SHELL_PRE), F.col("text"), F.lit(_HTML_SHELL_POST)),
+    )
+    ex = html_to_text("html")
+    return d.select(
+        "doc_id",
+        (ex == F.col("text")).alias("roundtrip_ok"),
+        F.length(ex).alias("n_chars_extracted"),
+    )
+
+
+SQL_HTML_TEXT_EXTRACTION = f"""
+WITH wrapped AS (
+  SELECT doc_id, text,
+    '{_HTML_SHELL_PRE}' || text || '{_HTML_SHELL_POST}' AS html
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, text,
+    replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        '(?is)<style[^>]*>.*?</style>', '', 'g'),
+        '(?s)<!--.*?-->', '', 'g'),
+        '<[^>]*>', '', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&')
+    AS extracted
+  FROM wrapped
+)
+SELECT doc_id, extracted = text AS roundtrip_ok,
+       length(extracted) AS n_chars_extracted
+FROM ex
+"""
+
+
+QUERIES.update({"html_text_extraction": q_html_text_extraction})
+ORACLES.update({"html_text_extraction": SQL_HTML_TEXT_EXTRACTION})

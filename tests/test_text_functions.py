@@ -57,3 +57,39 @@ def test_char_ngrams_stride(spark):
     df = spark.createDataFrame([("abcdefgh",)], ["text"])
     out = df.select(char_ngrams("text", k=3, stride=2).alias("g")).collect()[0]["g"]
     assert out == ["abc", "cde", "efg"]
+
+
+def test_html_to_text_rules(spark):
+    from dedupe_trees_spark.functions.text import html_to_text
+
+    rows = [
+        (1, "<html><body>plain text here</body></html>", "plain text here"),
+        (2, "<html><head><script>var x=1;</script><style>p{}</style></head>"
+            "<body>a <b>bold</b> move</body></html>", "a bold move"),
+        (3, "<p>x &amp;amp; y &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>",
+            "x &amp; y <tag> \"q\" 's'"),
+        (4, "<!-- c --><div>kept</div><!-- multi\nline -->", "kept"),
+        (5, "no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "html", "want"])
+    bad = df.select("id", html_to_text("html").alias("got"), "want").filter(
+        "got != want"
+    )
+    assert bad.count() == 0
+
+
+def test_html_extraction_byte_identical_on_pages(spark):
+    """input_hint invariant: decode(html) -> extract == text for every
+    synthesized Common-Crawl-style page, byte-identical."""
+    from dedupe_trees_spark.datagen import GenConfig, generate_pages
+    from dedupe_trees_spark.functions.text import html_to_text
+
+    pages = generate_pages(spark, GenConfig(n_docs=500, seed=3))
+    got = pages.select(
+        "url",
+        html_to_text(F.decode(F.col("html"), "UTF-8")).alias("extracted"),
+        "text",
+    )
+    assert got.filter("extracted != text").count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map
