@@ -167,3 +167,46 @@ def stratified_sample(
         ).otherwise(thr)
     pref = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
     return df.filter(pref < thr)
+
+
+def block_urls(
+    df: DataFrame,
+    blocked_domains: DataFrame | list[str] | None = None,
+    url_patterns: list[str] | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-hygiene filter: drop rows whose registered domain is on a
+    blocklist or whose URL matches any blocked regex.
+
+    Blocklists in production are 10^5–10^7 registered domains — far too
+    big for a literal IN expression but tiny next to the corpus, so the
+    domain check is a broadcast LEFT ANTI join on ``extract_domain``
+    (corpus scanned, never shuffled). Pattern rules compile to an OR of
+    ``rlike`` predicates — pure codegen in the same scan. Passing a
+    plain list builds the blocklist DataFrame on the driver.
+    """
+    out = df
+    if blocked_domains is not None:
+        if isinstance(blocked_domains, list):
+            spark = df.sparkSession
+            bl = spark.createDataFrame(
+                [(d,) for d in blocked_domains], ["_blocked_domain"]
+            )
+        else:
+            bl = blocked_domains.toDF("_blocked_domain")
+        out = (
+            out.withColumn("_dom", extract_domain(url_col))
+            .join(
+                F.broadcast(bl),
+                F.col("_dom") == F.col("_blocked_domain"),
+                "left_anti",
+            )
+            .drop("_dom")
+        )
+    if url_patterns:
+        hit = None
+        for pat in url_patterns:
+            p = F.col(url_col).rlike(pat)
+            hit = p if hit is None else (hit | p)
+        out = out.filter(~hit)
+    return out

@@ -1619,3 +1619,32 @@ FROM ex
 
 QUERIES.update({"html_text_extraction": q_html_text_extraction})
 ORACLES.update({"html_text_extraction": SQL_HTML_TEXT_EXTRACTION})
+
+
+def q_blocklist_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl hygiene: blocklist two of the seven messy-crawl domains and
+    one URL pattern; survivors keep id + size. Broadcast anti-join on
+    the extracted domain — the corpus is scanned, never shuffled."""
+    from dedupe_trees_spark.operators.domains import block_urls
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = d.withColumn("url", _messy_url(F.col("doc_id")))
+    kept = block_urls(
+        d,
+        blocked_domains=["site1.com", "site4.com"],
+        url_patterns=[r"\?id=3"],
+    )
+    return kept.select("doc_id", "n_chars")
+
+
+SQL_BLOCKLIST_SURVIVORS = f"""
+WITH raw AS (SELECT doc_id, n_chars, {_MESSY_URL_SQL} AS url FROM documents),
+dom AS (SELECT doc_id, n_chars, url, {_SQL_DOMAIN} AS domain FROM raw)
+SELECT doc_id, n_chars FROM dom
+WHERE domain NOT IN ('site1.com', 'site4.com')
+  AND NOT regexp_matches(url, '\\?id=3')
+"""
+
+
+QUERIES.update({"blocklist_survivors": q_blocklist_survivors})
+ORACLES.update({"blocklist_survivors": SQL_BLOCKLIST_SURVIVORS})

@@ -100,3 +100,30 @@ def test_sample_rejects_bad_fraction(spark):
         deterministic_sample(d, 1.5).count()
     with pytest.raises(ValueError):
         domain_cap(d.withColumn("domain", F.lit("x")).withColumn("url", F.lit("u")), 0)
+
+
+def test_block_urls_domains_and_patterns(spark):
+    from dedupe_trees_spark.operators.domains import block_urls
+
+    rows = [
+        (1, "https://spam.com/a"),
+        (2, "https://WWW.Spam.COM:443/b"),   # same domain after extraction
+        (3, "https://ok.com/fine"),
+        (4, "https://ok.com/download.exe"),  # pattern-blocked
+        (5, "https://also-ok.org/x"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = block_urls(
+        d, blocked_domains=["spam.com"], url_patterns=[r"\.exe$"]
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 5]
+    # blocklist as a DataFrame works identically
+    bl = spark.createDataFrame([("spam.com",)], ["domain"])
+    kept2 = block_urls(d, blocked_domains=bl, url_patterns=[r"\.exe$"])
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [3, 5]
+    # no-op configuration keeps everything
+    assert block_urls(d).count() == 5
+    # plan: anti-join is broadcast, corpus side not exchanged
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan
