@@ -1648,3 +1648,74 @@ WHERE domain NOT IN ('site1.com', 'site4.com')
 
 QUERIES.update({"blocklist_survivors": q_blocklist_survivors})
 ORACLES.update({"blocklist_survivors": SQL_BLOCKLIST_SURVIVORS})
+
+
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass: inject deterministic e-mail / IPv4 / phone /
+    SSN strings into the fixture text (both engines build the same
+    augmented string), scrub with the shared RE2-compatible pattern
+    table, and report per-kind counts + an md5 signature of the
+    scrubbed text. Map-only: zero exchanges, zero UDFs."""
+    from dedupe_trees_spark.operators.pii import pii_counts, scrub_pii
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), (did % 97).cast("string"),
+        F.lit("@mail"), (did % 5).cast("string"), F.lit(".example.com"),
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit(".3."), (did % 100).cast("string"),
+        F.lit(" call 555-"), F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = d.withColumn("aug", aug).withColumn("scrubbed", scrub_pii("aug"))
+    for name, expr in pii_counts("aug").items():
+        out = out.withColumn(name, expr)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_ssns", "n_phones",
+        F.length("scrubbed").alias("n_chars_scrubbed"),
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrub_sig"),
+    )
+
+
+def _pii_oracle() -> str:
+    from dedupe_trees_spark.operators.pii import pii_oracle_sql
+
+    scrub, counts = pii_oracle_sql("aug")
+    count_cols = ", ".join(counts)
+    return f"""
+WITH aug_t AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+         || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+         || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.3.' || CAST(doc_id % 100 AS VARCHAR)
+         || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END) AS aug
+  FROM documents
+),
+scrubbed_t AS (
+  SELECT doc_id, {count_cols}, {scrub} AS scrubbed FROM aug_t
+)
+SELECT doc_id, n_emails, n_ips, n_ssns, n_phones,
+       length(scrubbed) AS n_chars_scrubbed,
+       md5(scrubbed) AS scrub_sig
+FROM scrubbed_t
+"""
+
+
+SQL_PII_SCRUB_STATS = _pii_oracle()
+
+QUERIES.update({"pii_scrub_stats": q_pii_scrub_stats})
+ORACLES.update({"pii_scrub_stats": SQL_PII_SCRUB_STATS})
