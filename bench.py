@@ -96,6 +96,10 @@ def main() -> int:
         "benchmark_contamination",
         "domain_capped_sample",
         "stratified_sample_stats",
+        "html_text_extraction",
+        "blocklist_survivors",
+        "pii_scrub_stats",
+        "gopher_quality_flags",
     ]
     qs = Q.QUERIES
     for name in bench_queries:

@@ -238,3 +238,102 @@ def rolling_fingerprint(col: Column | str, window: int = 16) -> Column:
 
     grams = char_ngrams(col, k=window, stride=window // 2)
     return F.xxhash64(F.array_min(F.transform(grams, lambda g: F.xxhash64(g))))
+
+
+# Gopher-rule battery (Rae et al. 2021, "Scaling Language Models:
+# Gopher", appendix A1.1) — the standard web-text quality filter set.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style quality rule flags, all inside whole-stage codegen.
+
+    Adds per-document metrics and one boolean flag per rule, plus the
+    conjunction ``gopher_keep``:
+
+    * ``flag_word_count`` — whitespace word count within bounds;
+    * ``flag_mean_word_len`` — mean non-empty-word length in [3, 10];
+    * ``flag_symbol_ratio`` — ('#' + '...') occurrences / words ≤ 0.1;
+    * ``flag_alpha`` — fraction of words containing ≥1 ASCII letter;
+    * ``flag_stop`` — ≥2 distinct Gopher stopwords present as tokens;
+    * ``flag_bullet`` / ``flag_ellipsis`` — fraction of lines starting
+      with a bullet ("- " / "* ") resp. ending in "..." within bounds.
+
+    Every signal is exact replace/split arithmetic with a DuckDB twin
+    (queries.py::SQL_GOPHER_QUALITY_FLAGS), so the contract check is
+    value-hash equality, not approximate. The operator is a pure map —
+    zero exchanges, zero UDFs — which is what a quality filter must be
+    at 10^12 documents: it composes with the dedup pipeline as a
+    pre-clean projection that never touches the shuffle budget.
+
+    The word/line arrays are materialized as real columns BEFORE any
+    lambda captures them (the CollapseProject inlining trap measured at
+    34x on token_hashes; see repetition_features).
+    """
+    c = F.col(text_col)
+    out = df.withColumn(
+        "_words", F.filter(F.split(c, r"\s+"), lambda x: x != "")
+    ).withColumn("_lines", F.split(c, "\n"))
+    n_words = F.size("_words")
+    n_lines = F.size("_lines")
+    words_dn = F.greatest(n_words, F.lit(1))
+    lines_dn = F.greatest(n_lines, F.lit(1))
+    word_chars = F.aggregate(
+        "_words", F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    alpha_words = F.size(F.filter("_words", lambda x: x.rlike("[A-Za-z]")))
+    symbols = occurrence_count(c, "#") + occurrence_count(c, "...")
+    padded = F.concat(
+        F.lit(" "), F.translate(F.lower(c), "\n", " "), F.lit(" ")
+    )
+    stop_hits = F.lit(0)
+    for w in GOPHER_STOPWORDS:
+        stop_hits = stop_hits + F.when(
+            padded.contains(f" {w} "), F.lit(1)
+        ).otherwise(F.lit(0))
+    bullet_lines = F.size(
+        F.filter(
+            "_lines", lambda x: x.startswith("- ") | x.startswith("* ")
+        )
+    )
+    ellipsis_lines = F.size(F.filter("_lines", lambda x: x.endswith("...")))
+    out = out.withColumns(
+        {
+            "n_words": n_words,
+            "n_lines": n_lines,
+            "mean_word_len": word_chars / words_dn,
+            "symbol_ratio": symbols / words_dn,
+            "alpha_frac": alpha_words / words_dn,
+            "stop_hits": stop_hits,
+            "bullet_frac": bullet_lines / lines_dn,
+            "ellipsis_frac": ellipsis_lines / lines_dn,
+        }
+    )
+    flags = {
+        "flag_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "flag_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "flag_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "flag_alpha": F.col("alpha_frac") >= min_alpha_frac,
+        "flag_stop": F.col("stop_hits") >= min_stop_hits,
+        "flag_bullet": F.col("bullet_frac") <= max_bullet_frac,
+        "flag_ellipsis": F.col("ellipsis_frac") <= max_ellipsis_frac,
+    }
+    out = out.withColumns(flags)
+    keep = F.lit(True)
+    for name in flags:
+        keep = keep & F.col(name)
+    return out.withColumn("gopher_keep", keep).drop("_words", "_lines")

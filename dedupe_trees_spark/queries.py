@@ -1719,3 +1719,114 @@ SQL_PII_SCRUB_STATS = _pii_oracle()
 
 QUERIES.update({"pii_scrub_stats": q_pii_scrub_stats})
 ORACLES.update({"pii_scrub_stats": SQL_PII_SCRUB_STATS})
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality battery (Rae et al. 2021 A1.1): word-count
+    bounds, mean word length, symbol ratio, alpha-word fraction,
+    stopword hits, bullet/ellipsis line fractions, one flag per rule
+    plus the keep conjunction. The fixture corpus is single-line, so
+    both engines append the same deterministic multi-line tail (bullet
+    lines, a sometimes-ellipsis-terminated closer, a symbol-heavy line)
+    keyed on doc_id — every rule fires both ways on the fixture.
+    Map-only: zero exchanges, zero UDFs."""
+    from dedupe_trees_spark.operators.textstats import gopher_rules
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit("\n- bullet item "), (did % 7).cast("string"),
+        F.when(did % 4 == 0, F.lit("\n* starred item")).otherwise(F.lit("")),
+        F.lit("\ntail line "), (did % 11).cast("string"),
+        F.when(did % 3 == 0, F.lit(" trailing...")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("\n## ## ## ## ##")).otherwise(F.lit("")),
+    )
+    out = gopher_rules(
+        d.withColumn("aug", aug), text_col="aug",
+        min_words=20, max_words=200,
+    )
+    return out.select(
+        "doc_id", "n_words", "n_lines",
+        F.round("mean_word_len", 8).alias("mean_word_len"),
+        F.round("symbol_ratio", 8).alias("symbol_ratio"),
+        F.round("alpha_frac", 8).alias("alpha_frac"),
+        "stop_hits",
+        F.round("bullet_frac", 8).alias("bullet_frac"),
+        F.round("ellipsis_frac", 8).alias("ellipsis_frac"),
+        "flag_word_count", "flag_mean_word_len", "flag_symbol_ratio",
+        "flag_alpha", "flag_stop", "flag_bullet", "flag_ellipsis",
+        "gopher_keep",
+    )
+
+
+def _gopher_stop_sql() -> str:
+    from dedupe_trees_spark.operators.textstats import GOPHER_STOPWORDS
+
+    return " + ".join(
+        f"(CASE WHEN contains(p, ' {w} ') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+
+
+SQL_GOPHER_QUALITY_FLAGS = f"""
+WITH aug_t AS (
+  SELECT doc_id,
+    text || chr(10) || '- bullet item ' || CAST(doc_id % 7 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '* starred item' ELSE '' END)
+         || chr(10) || 'tail line ' || CAST(doc_id % 11 AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0 THEN ' trailing...' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || '## ## ## ## ##' ELSE '' END)
+      AS aug
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(aug, '\\s+'), x -> x != '') AS words,
+    string_split(aug, chr(10)) AS lines,
+    ' ' || replace(lower(aug), chr(10), ' ') || ' ' AS p,
+    CAST(length(aug) - length(replace(aug, '#', '')) AS INT)
+      + CAST((length(aug) - length(replace(aug, '...', ''))) / 3 AS INT) AS symbols
+  FROM aug_t
+), m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    len(lines) AS n_lines,
+    COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS word_chars,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+    len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* '))) AS bullet_lines,
+    len(list_filter(lines, x -> ends_with(x, '...'))) AS ellipsis_lines,
+    symbols,
+    {_gopher_stop_sql()} AS stop_hits
+  FROM feats
+), r AS (
+  SELECT doc_id, n_words, n_lines, stop_hits,
+    CAST(word_chars AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+    CAST(symbols AS DOUBLE) / greatest(n_words, 1) AS symbol_ratio,
+    CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) AS alpha_frac,
+    CAST(bullet_lines AS DOUBLE) / greatest(n_lines, 1) AS bullet_frac,
+    CAST(ellipsis_lines AS DOUBLE) / greatest(n_lines, 1) AS ellipsis_frac
+  FROM m
+)
+SELECT doc_id, n_words, n_lines,
+  round(mean_word_len, 8) AS mean_word_len,
+  round(symbol_ratio, 8) AS symbol_ratio,
+  round(alpha_frac, 8) AS alpha_frac,
+  stop_hits,
+  round(bullet_frac, 8) AS bullet_frac,
+  round(ellipsis_frac, 8) AS ellipsis_frac,
+  (n_words >= 20 AND n_words <= 200) AS flag_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_mean_word_len,
+  (symbol_ratio <= 0.1) AS flag_symbol_ratio,
+  (alpha_frac >= 0.8) AS flag_alpha,
+  (stop_hits >= 2) AS flag_stop,
+  (bullet_frac <= 0.9) AS flag_bullet,
+  (ellipsis_frac <= 0.3) AS flag_ellipsis,
+  (n_words >= 20 AND n_words <= 200
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2
+   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3) AS gopher_keep
+FROM r
+"""
+
+QUERIES.update({"gopher_quality_flags": q_gopher_quality_flags})
+ORACLES.update({"gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS})

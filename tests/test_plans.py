@@ -136,3 +136,13 @@ def test_paragraph_dup_stats_partial_agg(spark):
     plan = _executed_plan(Q.QUERIES["paragraph_dup_stats"](spark, SF_DIR))
     assert "partial_count" in plan
     assert "Window" not in plan
+
+
+def test_gopher_quality_flags_is_pure_map(spark):
+    """The Gopher rule battery must stay a shuffle-free projection over
+    the scan — no Exchange, no UDF marker, text-only ReadSchema."""
+    plan = _executed_plan(Q.QUERIES["gopher_quality_flags"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = next(l for l in plan.split("\n") if "ReadSchema" in l)
+    assert "text" in read_schema and "lang" not in read_schema

@@ -48,3 +48,43 @@ def test_quality_score_range_and_monotonicity(spark):
     df = spark.createDataFrame(rows, ["text"])
     out = quality_score(df).select("quality").collect()
     assert 0.0 <= out[1]["quality"] < out[0]["quality"] <= 1.0
+
+
+def test_gopher_rules_hand_values(spark):
+    from dedupe_trees_spark.operators.textstats import gopher_rules
+
+    # 4 lines: a bullet line, an ellipsis-ended line, two normal ones
+    # (1/3 of lines ellipsis-ended would trip the 0.3 Gopher bound).
+    good = (
+        "the cat sat with the dog and they have to be of note that day\n"
+        "- first point here\n"
+        "closing words trailing...\n"
+        "a quiet final line"
+    )
+    junky = "#### #### #### 1234 5678 9999"
+    df = spark.createDataFrame([(1, good), (2, junky)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(df, min_words=5, max_words=100).collect()
+    }
+    g = out[1]
+    assert g["n_words"] == 26 and g["n_lines"] == 4
+    assert g["stop_hits"] == 8  # all eight Gopher stopwords present
+    assert abs(g["bullet_frac"] - 1 / 4) < 1e-12
+    assert abs(g["ellipsis_frac"] - 1 / 4) < 1e-12
+    assert g["flag_alpha"] and g["flag_stop"] and g["gopher_keep"]
+    j = out[2]
+    # 6 words, 16 '#' symbols -> ratio 16/6 > 0.1; 2/6 alpha-free words
+    assert j["flag_symbol_ratio"] is False
+    assert j["flag_alpha"] is False and j["flag_stop"] is False
+    assert j["gopher_keep"] is False
+
+
+def test_gopher_rules_empty_and_single_word(spark):
+    from dedupe_trees_spark.operators.textstats import gopher_rules
+
+    df = spark.createDataFrame([(1, ""), (2, "word")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["n_words"] == 0 and out[1]["mean_word_len"] == 0.0
+    assert out[2]["n_words"] == 1 and out[2]["mean_word_len"] == 4.0
+    assert not out[1]["gopher_keep"] and not out[2]["gopher_keep"]
