@@ -1830,3 +1830,64 @@ FROM r
 
 QUERIES.update({"gopher_quality_flags": q_gopher_quality_flags})
 ORACLES.update({"gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS})
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-
+    cosine near-dup pairs (SRP-blocked, exact-cosine verified — the
+    same fixed-seed config exhaustively verified lossless for
+    ``embedding_neardup_pairs``) → connected components → keep the
+    min-id member per semantic cluster. Pure composition of shipped
+    operators, so the 100-TB shape is inherited: bucket-equi candidate
+    join, O(log n) CC rounds, no all-pairs anywhere. Oracle: recursive-
+    CTE transitive closure over the brute-force cosine graph."""
+    from dedupe_trees_spark.operators.components import assign_components
+    from dedupe_trees_spark.operators.similarity import neardup_pairs
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pairs = neardup_pairs(e, tau=0.35, dim=64, n_bits=4, n_tables=64, seed=42)
+    comps = assign_components(
+        e.select("vec_id"), pairs, id_col="vec_id", a="id_a", b="id_b"
+    )
+    w = Window.partitionBy("component_id")
+    return comps.select(
+        "vec_id",
+        F.col("component_id").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("vec_id") == F.col("component_id")).alias("is_kept"),
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CASE WHEN list_sum(list_transform(a.emb, x -> x * x)) > 0
+               AND list_sum(list_transform(b.emb, x -> x * x)) > 0
+              THEN list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
+              ELSE 0.0 END AS cos_raw
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+),
+p AS (SELECT va, vb FROM scored WHERE cos_raw >= 0.35),
+edges AS (SELECT va AS u, vb AS v FROM p UNION SELECT vb, va FROM p),
+reach(u, v) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.u, ed.v FROM reach r JOIN edges ed ON r.v = ed.u
+),
+comp AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (vec_id = cluster_id) AS is_kept
+FROM comp
+"""
+
+QUERIES.update({"semantic_dedup": q_semantic_dedup})
+ORACLES.update({"semantic_dedup": SQL_SEMANTIC_DEDUP})

@@ -167,3 +167,33 @@ def test_ivf_topk_recall_on_planted_neighbors(spark):
         for r in ivf_topk(df, q, k=3, n_cells=12, nprobe=4).collect()
     )
     assert got == again
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Two planted semantic clusters + noise: each cluster keeps exactly
+    its min-id member, noise docs survive as singletons."""
+    import numpy as np
+
+    from dedupe_trees_spark.operators.components import assign_components
+    from dedupe_trees_spark.operators.similarity import neardup_pairs
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    rows = []
+    for base_id, seed_vec in ((0, rng.standard_normal(dim)),
+                              (100, rng.standard_normal(dim))):
+        for j in range(4):
+            noisy = seed_vec + 0.02 * rng.standard_normal(dim)
+            rows.append((base_id + j, [float(x) for x in noisy]))
+    for k in range(200, 220):
+        rows.append((k, [float(x) for x in rng.standard_normal(dim)]))
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = neardup_pairs(e, tau=0.9, dim=dim, n_bits=4, n_tables=32, seed=1)
+    comps = assign_components(
+        e.select("vec_id"), pairs, id_col="vec_id", a="id_a", b="id_b"
+    )
+    got = {r["vec_id"]: r["component_id"] for r in comps.collect()}
+    assert {got[i] for i in (0, 1, 2, 3)} == {0}
+    assert {got[i] for i in (100, 101, 102, 103)} == {100}
+    kept = [v for v, c in got.items() if v == c]
+    assert set(kept) == {0, 100, *range(200, 220)}
