@@ -110,6 +110,16 @@ class PipelineConfig:
     decontam_n: int = 13
     domain_cap: int = 0  # 0 = no per-domain cap
     sample_frac: float = 1.0  # 1.0 = keep everything
+    # crawl-hygiene battery, also part of the training-set export:
+    # blocklist runs first (cheapest cut: broadcast anti-join on the
+    # registered domain), the Gopher rule filter next (zero-shuffle
+    # codegen map), PII scrubbing last so the regex rewrite touches
+    # only rows that survive every filter (and decontamination n-grams
+    # match the original crawl text, not masked text).
+    blocklist_path: str | None = None  # text file, one domain per line
+    quality_filter: bool = False  # keep only gopher_keep pages
+    quality_min_words: int = 50  # gopher word-count lower bound
+    scrub_pii: bool = False  # mask emails/IPs/SSNs/phones in text
 
 
 def from_args(argv: list[str] | None = None) -> PipelineConfig:
@@ -156,6 +166,27 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
         "--domain-cap", type=int, default=0, dest="domain_cap",
         help="keep at most this many pages per registered domain in the "
         "training-set export (0 = uncapped)",
+    )
+    p.add_argument(
+        "--blocklist", default=None, dest="blocklist_path",
+        help="text file of blocked registered domains (one per line); "
+        "matching pages are dropped from the training-set export via a "
+        "broadcast anti-join",
+    )
+    p.add_argument(
+        "--quality-filter", action="store_true", dest="quality_filter",
+        help="apply the Gopher rule battery to the training-set export "
+        "and keep only pages passing every rule",
+    )
+    p.add_argument(
+        "--quality-min-words", type=int, default=50,
+        dest="quality_min_words",
+        help="word-count lower bound for --quality-filter (Gopher: 50)",
+    )
+    p.add_argument(
+        "--scrub-pii", action="store_true", dest="scrub_pii",
+        help="mask emails/IPv4s/SSNs/phone numbers in the exported text "
+        "(applied last, after all filters)",
     )
     p.add_argument(
         "--sample-frac", type=float, default=1.0, dest="sample_frac",

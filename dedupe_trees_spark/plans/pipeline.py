@@ -11,10 +11,11 @@
                                                            [checkpoint]
     S4 components:  connected components over pairs        [checkpoint]
     S5 canonical:   resolver window → canonical + removals [checkpoint]
-    S6 training_set (optional, when any shaping flag is set):
-                    deduped kept pages → decontaminate vs an eval
-                    parquet → per-domain cap → deterministic sample
-                                                           [checkpoint]
+    S6 training_set (optional, when any shaping/hygiene flag is set):
+                    deduped kept pages → domain blocklist → Gopher
+                    quality filter → decontaminate vs an eval parquet
+                    → per-domain cap → deterministic sample → PII
+                    scrub                                  [checkpoint]
 
 Node identity: every stage after S1 keys documents by ``nid`` instead
 of the url string (~60–80 bytes for web urls) — bands, candidate pairs,
@@ -465,12 +466,27 @@ class DedupePipeline:
 
     def _shaping_enabled(self) -> bool:
         c = self.cfg
-        return bool(c.decontam_eval_path) or c.domain_cap > 0 or c.sample_frac < 1.0
+        return (
+            bool(c.decontam_eval_path)
+            or c.domain_cap > 0
+            or c.sample_frac < 1.0
+            or bool(c.blocklist_path)
+            or c.quality_filter
+            or c.scrub_pii
+        )
 
     def _build_training_set(self) -> DataFrame:
         """S6: the exported training corpus — deduped kept pages run
-        through decontamination, the per-domain cap, and the
-        deterministic sample, in that order (each optional).
+        through the domain blocklist, the Gopher quality filter,
+        decontamination, the per-domain cap, the deterministic sample,
+        and PII scrubbing, in that order (each optional).
+
+        Ordering rationale: blocklist first (cheapest cut, broadcast
+        anti-join), quality rules next (zero-shuffle map), both BEFORE
+        decontamination so the probe join sees fewer rows; the PII
+        rewrite runs LAST so the regex pass touches only surviving rows
+        and decontamination n-grams match the original crawl text
+        rather than masked text.
 
         Scale shape: the kept set is scanned, never shuffled — the
         decontaminate probe and join-back are broadcast, domain_cap
@@ -488,6 +504,20 @@ class DedupePipeline:
 
         cfg = self.cfg
         out = self.deduped_pages()
+        if cfg.blocklist_path:
+            from dedupe_trees_spark.operators.domains import block_urls
+
+            bl = self.spark.read.text(cfg.blocklist_path).select(
+                F.trim("value").alias("domain")
+            ).filter(F.col("domain") != "")
+            out = block_urls(out, blocked_domains=bl, url_col="url")
+        if cfg.quality_filter:
+            from dedupe_trees_spark.operators.textstats import gopher_rules
+
+            cols = out.columns
+            out = gopher_rules(
+                out, text_col="text", min_words=cfg.quality_min_words
+            ).filter(F.col("gopher_keep")).select(*cols)
         if cfg.decontam_eval_path:
             ev = self.spark.read.parquet(cfg.decontam_eval_path)
             out = decontaminate(
@@ -505,6 +535,10 @@ class DedupePipeline:
             )
         if cfg.sample_frac < 1.0:
             out = deterministic_sample(out, cfg.sample_frac, key_col="url")
+        if cfg.scrub_pii:
+            from dedupe_trees_spark.operators.pii import scrub_pii
+
+            out = out.withColumn("text", scrub_pii("text"))
         return out
 
     def _audit_ids(self) -> None:

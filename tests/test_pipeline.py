@@ -572,3 +572,90 @@ def test_training_out_cli_sink(spark, tmp_path, capsys):
     assert {"url", "text"} <= set(published.columns)
     sizes = published.withColumn("d", extract_domain("url")).groupBy("d").count()
     assert all(r["count"] <= 30 for r in sizes.collect())
+
+
+def test_training_set_hygiene_battery(spark, tmp_path):
+    """S6 hygiene flags: --blocklist drops every page of the listed
+    domain, --quality-filter keeps exactly the gopher_keep set, and
+    --scrub-pii masks injected e-mails in the exported text only."""
+    from dedupe_trees_spark.operators.domains import extract_domain
+    from dedupe_trees_spark.operators.textstats import gopher_rules
+
+    inp = str(tmp_path / "pages")
+    blp = str(tmp_path / "blocklist.txt")
+    ckpt = str(tmp_path / "ckpt")
+    pages = generate_pages(spark, GenConfig(n_docs=300, seed=11), partitions=4)
+    # the synthetic corpus has no Gopher stopwords, so flag_stop would
+    # reject every page: give ~2/3 of pages a stopword-rich tail (those
+    # can pass) and inject a deterministic e-mail into every 7th page
+    pages = pages.withColumn(
+        "text",
+        F.when(
+            F.xxhash64("url") % 3 != 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" for the record that we have to be of use and go with it"),
+            ),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.xxhash64("url") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" reach me at who@example.org ok")),
+        ).otherwise(F.col("text")),
+    )
+    pages.write.mode("overwrite").parquet(inp)
+    doms = [
+        r["d"]
+        for r in spark.read.parquet(inp)
+        .select(extract_domain("url").alias("d"))
+        .distinct().orderBy("d").collect()
+    ]
+    blocked = doms[0]
+    with open(blp, "w") as f:
+        f.write(f"{blocked}\n\n  {blocked}  \n")  # blank + padded lines ok
+
+    cfg = PipelineConfig(
+        input_path=inp, ckpt_dir=ckpt, bucket_cap=64,
+        blocklist_path=blp, quality_filter=True, quality_min_words=10,
+        scrub_pii=True,
+    )
+    pipe = DedupePipeline(spark, cfg)
+    report = pipe.run()
+    assert report["training_set"]["rows_out"] > 0
+    out = pipe.training_set()
+
+    # blocklist: no exported page from the blocked domain
+    assert out.filter(extract_domain("url") == blocked).count() == 0
+    # pii: masks present where injected, raw addresses gone everywhere
+    assert out.filter(F.col("text").contains("@")).count() == 0
+    assert out.filter(F.col("text").contains("<EMAIL>")).count() > 0
+    # quality filter: survivors == the gopher_keep subset of the
+    # deduped+blocklisted+scrubbed set, computed independently
+    expect = pipe.deduped_pages().filter(extract_domain("url") != blocked)
+    expect = gopher_rules(expect, min_words=10).filter(F.col("gopher_keep"))
+    expect = expect.select("url", scrub_pii_col_for_test("text").alias("text"))
+    got = out.select("url", "text")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def scrub_pii_col_for_test(col):
+    from dedupe_trees_spark.operators.pii import scrub_pii
+
+    return scrub_pii(col)
+
+
+def test_from_args_hygiene_flags_roundtrip():
+    cfg = from_args(
+        [
+            "--input", "/i", "--ckpt", "/c", "--blocklist", "/b.txt",
+            "--quality-filter", "--quality-min-words", "25", "--scrub-pii",
+        ]
+    )
+    assert cfg.blocklist_path == "/b.txt"
+    assert cfg.quality_filter and cfg.quality_min_words == 25
+    assert cfg.scrub_pii
+    base = from_args(["--input", "/i", "--ckpt", "/c"])
+    assert not base.quality_filter and not base.scrub_pii
+    assert base.blocklist_path is None
