@@ -14,10 +14,17 @@ given core count, timing each phase separately:
 
 Run at two core counts (e.g. 2 and 8) for the N→4N efficiency pair.
 
-Usage: python tools/shaping_scale.py [pages_parquet] [cores] [OUT.json] [gram|hash]
+5. gopher_rules — the quality flag battery (zero-exchange map).
+6. block_urls — broadcast anti-join against a ~2%-of-domains blocklist.
+7. scrub_pii — the 4-pattern regexp_replace chain, output fully
+   materialized via sum(length(scrubbed)).
+
+Usage: python tools/shaping_scale.py [pages_parquet] [cores] [OUT.json] \
+           [gram|hash] [all|shaping|hygiene]
 Prints one JSON document (and writes OUT.json if given). The 4th arg
 selects the decontamination join key (default gram; hash = the
-documented scale path, xxhash64 over the token-array slice).
+documented scale path, xxhash64 over the token-array slice); the 5th
+restricts which phase group runs (default all).
 """
 
 from __future__ import annotations
@@ -35,6 +42,7 @@ def main() -> int:
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
     join_on = sys.argv[4] if len(sys.argv) > 4 else "gram"
+    phases = sys.argv[5] if len(sys.argv) > 5 else "all"
 
     from pyspark.sql import functions as F
 
@@ -61,10 +69,39 @@ def main() -> int:
     pages = spark.read.parquet(pages_path).select("url", "text")
     ev = pages.filter(F.xxhash64("url") % 100 == 0)
     corpus = pages.filter(F.xxhash64("url") % 100 != 0)
-    res: dict = {"input": pages_path, "cores": cores, "join_on": join_on}
+    res: dict = {"input": pages_path, "cores": cores, "join_on": join_on,
+                 "phases": phases}
     n_docs = corpus.count()
     res["n_docs"] = n_docs
     res["n_eval"] = ev.count()
+
+    if phases in ("all", "shaping"):
+        _shaping_phases(spark, corpus, ev, n_docs, join_on, res)
+    if phases in ("all", "hygiene"):
+        _hygiene_phases(spark, corpus, n_docs, res)
+
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(res, fh, indent=1)
+    print(json.dumps(res))
+    spark.stop()
+    return 0
+
+
+def _shaping_phases(spark, corpus, ev, n_docs, join_on, res) -> None:
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dedupe_trees_spark.operators.decontaminate import (
+        contamination_report,
+        decontaminate,
+    )
+    from dedupe_trees_spark.operators.domains import (
+        deterministic_sample,
+        domain_cap,
+        extract_domain,
+    )
 
     t0 = time.time()
     rep = contamination_report(corpus, ev, n=13, text_col="text", id_col="url", join_on=join_on)
@@ -109,12 +146,66 @@ def main() -> int:
     }
     print(json.dumps({"phase": "sample", **res["sample"]}), flush=True)
 
-    if out_path:
-        with open(out_path, "w") as fh:
-            json.dump(res, fh, indent=1)
-    print(json.dumps(res))
-    spark.stop()
-    return 0
+
+def _hygiene_phases(spark, corpus, n_docs, res) -> None:
+    """The r4 hygiene battery, each phase timed standalone. All three
+    are corpus-scan maps (the blocklist side is broadcast), so at a
+    fixed input their wall should track the pure-CPU control, not the
+    shuffle-bound pipeline stages."""
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dedupe_trees_spark.operators.domains import block_urls, extract_domain
+    from dedupe_trees_spark.operators.pii import scrub_pii
+    from dedupe_trees_spark.operators.textstats import gopher_rules
+
+    t0 = time.time()
+    flags = gopher_rules(corpus, text_col="text", min_words=10)
+    agg = flags.agg(
+        F.sum(F.col("gopher_keep").cast("long")).alias("kept"),
+        F.sum(F.col("flag_stop").cast("long")).alias("stop_pass"),
+    ).collect()[0]
+    wall = time.time() - t0
+    res["gopher"] = {
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+        "kept_docs": int(agg["kept"] or 0),
+        "stop_pass": int(agg["stop_pass"] or 0),
+    }
+    print(json.dumps({"phase": "gopher", **res["gopher"]}), flush=True)
+
+    # blocklist = a deterministic ~2% sample of the corpus's own
+    # registered domains (realistic shape: list tiny vs corpus)
+    bl = (
+        corpus.select(extract_domain("url").alias("_blocked_domain"))
+        .dropDuplicates(["_blocked_domain"])
+        .filter(F.xxhash64("_blocked_domain") % 50 == 0)
+    )
+    n_blocked_domains = bl.count()
+    t0 = time.time()
+    n_kept = block_urls(corpus, blocked_domains=bl, url_col="url").count()
+    wall = time.time() - t0
+    res["blocklist"] = {
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+        "kept_docs": n_kept,
+        "blocked_domains": n_blocked_domains,
+    }
+    print(json.dumps({"phase": "blocklist", **res["blocklist"]}), flush=True)
+
+    t0 = time.time()
+    total = corpus.select(
+        F.sum(F.length(scrub_pii("text"))).alias("n")
+    ).collect()[0]["n"]
+    wall = time.time() - t0
+    res["pii"] = {
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+        "scrubbed_chars": int(total),
+    }
+    print(json.dumps({"phase": "pii", **res["pii"]}), flush=True)
 
 
 if __name__ == "__main__":
