@@ -289,7 +289,53 @@ def substring_extent_pairs(
         )
     )
     out = joined.withColumn("max_run", lcs_run_udf()(F.col("_ta"), F.col("_tb")))
-    return out.filter(F.col("max_run") >= min_run).select("url_a", "url_b", "max_run")
+    return out.filter(F.col("max_run") >= min_run).select(
+        "url_a", "url_b", "max_run",
+        F.length("_ta").alias("len_a"), F.length("_tb").alias("len_b"),
+    )
+
+
+def containment_decisions(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    frac: float = 0.8,
+    min_run: int = 64,
+    k: int = 24,
+    cap: int = 256,
+) -> DataFrame:
+    """Containment dedup: when one document's text is (near-)entirely a
+    verbatim substring of another's, keep the longer one.
+
+    A pair qualifies when ``max_run / min(len_a, len_b) ≥ frac`` — the
+    shared run covers ≥ frac of the shorter document. Decision: remove
+    the shorter doc (it adds ≤ (1−frac)·len unique chars); on an exact
+    length tie, keep the smaller id (deterministic, oracle-matched).
+
+    Output: (doc_kept, doc_removed, max_run, contain_frac). Lengths
+    ride out of the extent join for free (the texts were already
+    shipped per candidate pair for the LCS verify), so this adds zero
+    exchanges on top of ``substring_extent_pairs``.
+    """
+    ext = substring_extent_pairs(
+        df, id_col=id_col, text_col=text_col, min_run=min_run, k=k, cap=cap
+    )
+    shorter = F.least("len_a", "len_b")
+    cf = F.col("max_run") / shorter
+    a, b = F.col("url_a"), F.col("url_b")
+    a_kept = (F.col("len_a") > F.col("len_b")) | (
+        (F.col("len_a") == F.col("len_b")) & (a < b)
+    )
+    return (
+        ext.withColumn("contain_frac", cf)
+        .filter(F.col("contain_frac") >= frac)
+        .select(
+            F.when(a_kept, a).otherwise(b).alias("doc_kept"),
+            F.when(a_kept, b).otherwise(a).alias("doc_removed"),
+            "max_run",
+            "contain_frac",
+        )
+    )
 
 
 def substring_pairs_winnow(

@@ -1891,3 +1891,49 @@ FROM comp
 
 QUERIES.update({"semantic_dedup": q_semantic_dedup})
 ORACLES.update({"semantic_dedup": SQL_SEMANTIC_DEDUP})
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup decisions: pairs whose exact longest shared run
+    covers ≥ 80% of the shorter document → remove the shorter doc (tie:
+    keep the smaller id). Built on the suffix-array extent operator;
+    lengths ride the existing per-pair text join, zero added exchanges.
+    Oracle: the extent query's diagonal-chain CTEs + the same length
+    arithmetic."""
+    from dedupe_trees_spark.operators.substring import containment_decisions
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = containment_decisions(
+        d, id_col="doc_id", frac=0.8, min_run=64, k=24, cap=4096
+    )
+    return out.select(
+        "doc_kept", "doc_removed", "max_run",
+        F.round("contain_frac", 8).alias("contain_frac"),
+    )
+
+
+_EXTENT_WITH = SQL_SUBSTRING_EXTENT_PAIRS[
+    : SQL_SUBSTRING_EXTENT_PAIRS.rindex("SELECT")
+]
+SQL_CONTAINMENT_DEDUP = f"""{_EXTENT_WITH},
+ext AS (
+  SELECT doc_a, doc_b, CAST(max(run_len) AS BIGINT) AS max_run
+  FROM chains GROUP BY doc_a, doc_b
+),
+l AS (SELECT doc_id, length(text) AS n FROM documents),
+j AS (
+  SELECT e.doc_a, e.doc_b, e.max_run, la.n AS na, lb.n AS nb,
+         CAST(e.max_run AS DOUBLE) / least(la.n, lb.n) AS cf
+  FROM ext e JOIN l la ON la.doc_id = e.doc_a JOIN l lb ON lb.doc_id = e.doc_b
+)
+SELECT CASE WHEN na > nb OR (na = nb AND doc_a < doc_b) THEN doc_a ELSE doc_b END
+         AS doc_kept,
+       CASE WHEN na > nb OR (na = nb AND doc_a < doc_b) THEN doc_b ELSE doc_a END
+         AS doc_removed,
+       max_run,
+       round(cf, 8) AS contain_frac
+FROM j WHERE cf >= 0.8
+"""
+
+QUERIES.update({"containment_dedup": q_containment_dedup})
+ORACLES.update({"containment_dedup": SQL_CONTAINMENT_DEDUP})

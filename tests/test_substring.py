@@ -155,3 +155,45 @@ def test_substring_extent_pairs_exact_run_lengths(spark):
     assert out[("d1", "d2")] == 100
     assert out[("d3", "d4")] == 70
     assert all({a, b} in ({"d1", "d2"}, {"d3", "d4"}) for a, b in out)
+
+
+def test_containment_decisions_tie_and_threshold(spark):
+    from dedupe_trees_spark.operators.substring import containment_decisions
+
+    core = "x".join(f"token{i}" for i in range(40))  # ~280 chars, unique-ish
+    rows = [
+        (1, core + " tail that makes doc one longer than the core copy"),
+        (2, core),                       # fully contained in 1 (and 3)
+        (3, core + " different tail of comparable size for the tie doc"),
+        (4, "entirely unrelated filler " * 12),
+    ]
+    # docs 1 and 3: share exactly `core` (~full containment of neither:
+    # core/len ≈ 0.85 of each -> above 0.8), equal-ish lengths
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = containment_decisions(
+        df, id_col="doc_id", frac=0.8, min_run=64, k=24, cap=64
+    )
+    got = {(r["doc_kept"], r["doc_removed"]): r for r in out.collect()}
+    # 2 is removed in favor of both longer supersets
+    assert (1, 2) in got and got[(1, 2)]["contain_frac"] == 1.0
+    assert (3, 2) in got
+    # the 1-3 pair: kept side is the longer doc (or smaller id on a tie)
+    pair13 = [k for k in got if set(k) == {1, 3}]
+    if pair13:
+        la, lb = len(rows[0][1]), len(rows[2][1])
+        want_kept = 1 if (la > lb or (la == lb)) else 3
+        assert pair13[0][0] == want_kept
+    # doc 4 never appears
+    assert all(4 not in k for k in got)
+
+
+def test_containment_decisions_exact_tie_keeps_smaller_id(spark):
+    from dedupe_trees_spark.operators.substring import containment_decisions
+
+    t = "y".join(f"word{i}" for i in range(30))
+    df = spark.createDataFrame([(7, t), (5, t)], ["doc_id", "text"])
+    out = containment_decisions(
+        df, id_col="doc_id", frac=0.8, min_run=64, k=24, cap=64
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["doc_kept"] == 5 and out[0]["doc_removed"] == 7
