@@ -100,6 +100,8 @@ def main() -> int:
         "blocklist_survivors",
         "pii_scrub_stats",
         "gopher_quality_flags",
+        "containment_dedup",
+        "top_ngrams",
     ]
     qs = Q.QUERIES
     for name in bench_queries:

@@ -162,3 +162,34 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(F.broadcast(dirty), id_col, "left_anti")
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Boilerplate mining: the ``k`` n-word-grams present in the most
+    documents, with their document frequencies.
+
+    Rides :func:`ngram_rows` (per-doc-distinct grams, zero exchanges on
+    the build), so one partial-aggregated count per gram is the ONLY
+    exchange; the top-k itself runs as TakeOrderedAndProject (per-
+    partition heaps + a driver merge of k rows, never a full sort).
+    Ties order by gram string, so the cut is total and deterministic —
+    an engine-portable contract (the DuckDB twin runs the same ORDER
+    BY). The mined list feeds a boilerplate strip (e.g. as a
+    `paragraphs.py` blocklist) or a crawl-health report; at 10^12 docs
+    the gram table is the same volume the decontamination pass already
+    handles.
+    """
+    rows = ngram_rows(df, n, text_col=text_col, id_col=id_col)
+    counts = rows.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        counts.filter(F.col("doc_freq") >= min_df)
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(k)
+    )

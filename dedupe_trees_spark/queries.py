@@ -1937,3 +1937,31 @@ FROM j WHERE cf >= 0.8
 
 QUERIES.update({"containment_dedup": q_containment_dedup})
 ORACLES.update({"containment_dedup": SQL_CONTAINMENT_DEDUP})
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: top-20 3-word grams by document frequency
+    (per-doc-distinct, min_df=2), ties broken by gram string so the
+    cut is deterministic in both engines."""
+    from dedupe_trees_spark.operators.decontaminate import top_ngrams
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return top_ngrams(d, n=3, k=20, min_df=2)
+
+
+SQL_TOP_NGRAMS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+        FROM toks WHERE len(arr) >= 3)
+),
+c AS (SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram)
+SELECT gram, doc_freq FROM c
+WHERE doc_freq >= 2
+ORDER BY doc_freq DESC, gram ASC
+LIMIT 20
+"""
+
+QUERIES.update({"top_ngrams": q_top_ngrams})
+ORACLES.update({"top_ngrams": SQL_TOP_NGRAMS})

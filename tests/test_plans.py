@@ -146,3 +146,12 @@ def test_gopher_quality_flags_is_pure_map(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     read_schema = next(l for l in plan.split("\n") if "ReadSchema" in l)
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_top_ngrams_take_ordered_and_partial_agg(spark):
+    """Boilerplate mining must never full-sort the gram table: top-k is
+    TakeOrderedAndProject and the count has a map-side partial."""
+    plan = _executed_plan(Q.QUERIES["top_ngrams"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "Window" not in plan
