@@ -110,3 +110,74 @@ def test_decontaminate_consistent_with_report(spark):
     kept_ids = sorted(r["doc_id"] for r in decontaminate(corpus, ev, n=4).collect())
     assert clean_ids == kept_ids
     assert rep.count() == 120  # report covers every corpus row exactly once
+
+
+def test_scrub_pii_idempotent_and_stable_on_clean_text(spark):
+    """scrub(scrub(x)) == scrub(x) (placeholders contain no PII shapes),
+    and PII-free text passes through byte-identical."""
+    from dedupe_trees_spark.operators.pii import scrub_pii
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" mail a.b+c@x9.example.net or 10.0.0.1 or 123-45-6789"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = d.select(
+        "doc_id", "t",
+        scrub_pii("t").alias("once"),
+        scrub_pii(scrub_pii("t")).alias("twice"),
+    )
+    assert out.filter(F.col("once") != F.col("twice")).count() == 0
+    clean = out.filter(F.col("doc_id") % 4 != 0)
+    assert clean.filter(F.col("once") != F.col("t")).count() == 0
+
+
+def test_containment_decisions_invariants(spark):
+    """On any corpus: removed doc is never longer than the kept one,
+    contain_frac ∈ [threshold, 1], and decision pairs ⊆ extent pairs."""
+    from dedupe_trees_spark.operators.substring import (
+        containment_decisions,
+        substring_extent_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    dec = containment_decisions(
+        d, id_col="doc_id", frac=0.8, min_run=64, k=24, cap=4096
+    ).collect()
+    assert dec  # fixture plants substring dups
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in d.select("doc_id", F.length("text").alias("n")).collect()
+    }
+    for r in dec:
+        assert lens[r["doc_removed"]] <= lens[r["doc_kept"]]
+        assert 0.8 <= r["contain_frac"] <= 1.0
+    ext = {
+        frozenset((r["url_a"], r["url_b"]))
+        for r in substring_extent_pairs(
+            d, id_col="doc_id", min_run=64, k=24, cap=4096
+        ).collect()
+    }
+    assert all(
+        frozenset((r["doc_kept"], r["doc_removed"])) in ext for r in dec
+    )
+
+
+def test_top_ngrams_bounds_and_nesting(spark):
+    """|output| ≤ k, doc_freq ≥ min_df and ≤ n_docs, and the top-5 list
+    is a prefix of the top-20 list (same deterministic order)."""
+    from dedupe_trees_spark.operators.decontaminate import top_ngrams
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    n_docs = d.count()
+    t20 = top_ngrams(d, n=3, k=20, min_df=2).collect()
+    t5 = top_ngrams(d, n=3, k=5, min_df=2).collect()
+    assert len(t20) <= 20 and len(t5) <= 5
+    assert all(2 <= r["doc_freq"] <= n_docs for r in t20)
+    key = lambda r: (r["gram"], r["doc_freq"])  # noqa: E731
+    assert [key(r) for r in t5] == [key(r) for r in t20[: len(t5)]]
