@@ -200,34 +200,49 @@ def neardup_pairs(
     (e.g. the all-zeros region) can dominate the join; capped buckets
     trade bounded recall loss for a hard candidate ceiling.
     """
+    # The bucket self-join and the pair-dedup run over SLIM (bucket, id)
+    # rows; vectors attach per UNIQUE candidate pair afterwards. The
+    # first formulation carried both full vectors through the join AND
+    # the dropDuplicates exchange — at 1M×64-dim that is ~23 GB through
+    # two exchanges vs ~0.4 GB slim (measured A/B below); at 10^12 rows
+    # it is the difference between a candidate-proportional verify and
+    # shuffling the corpus n_tables × candidate-multiplicity times.
     srp = srp_udf(dim, n_bits, n_tables, seed)
-    b = corpus.select(
-        id_col, vec_col, l2_norm(F.col(vec_col)).alias("_nrm")
-    ).withColumn("bucket", F.explode(srp(F.col(vec_col))))
+    bk = corpus.select(id_col, F.explode(srp(F.col(vec_col))).alias("bucket"))
     if bucket_cap:
         w = Window.partitionBy("bucket")
-        b = b.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+        bk = bk.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
             F.col("_bn") <= bucket_cap
         ).drop("_bn")
-    left = b.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        F.col("_nrm").alias("_na"),
-    )
-    right = b.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_nrm").alias("_nb"),
-    )
     cands = (
-        left.join(right, "bucket")
+        bk.select("bucket", F.col(id_col).alias("id_a"))
+        .join(bk.select("bucket", F.col(id_col).alias("id_b")), "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+    vecs = corpus.select(
+        id_col,
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    scored = cands.join(
+        vecs.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        ),
+        "id_b",
     )
     return (
-        cands.withColumn(
+        scored.withColumn(
             "cos_sim",
             cosine_prenormed(
                 F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
