@@ -169,6 +169,7 @@ def neardup_pairs(
     n_tables: int = 8,
     seed: int = 42,
     bucket_cap: int = 0,
+    mode: str = "all",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim ≥ tau).
 
@@ -199,7 +200,28 @@ def neardup_pairs(
     m members contributes m(m−1)/2 candidates, so one degenerate bucket
     (e.g. the all-zeros region) can dominate the join; capped buckets
     trade bounded recall loss for a hard candidate ceiling.
+
+    ``mode`` picks the candidate topology:
+
+    * ``"all"`` (default, the oracle-pinned contract): every unordered
+      bucket pair — output is exactly {pairs with cos ≥ tau} up to LSH
+      blocking recall. A dense m-member cluster emits Θ(m²) pairs.
+    * ``"star"``: per bucket, only (min-id member, other) edges — the
+      text pipeline's m−1-edge spanning-star bound carried to the
+      embedding family. Per cluster per table that is ≤ m edges, so
+      pair volume is LINEAR in cluster size; CC over several tables'
+      stars reconnects what any one star misses. Use for clustering /
+      semantic dedup (component structure), not for enumerating every
+      qualifying pair: a star edge failing the exact-cosine verify
+      drops that member from that bucket's star, where all-pairs would
+      still have reached it through a different partner (measured at
+      4M vectors / 400-member clusters: 77.4M → 1.94M emitted pairs,
+      pairs stage 558.8 s → 27.2 s (20.5×), CC 95.2 → 13.1 s, cluster
+      recovery still 1000/1000 with sampled truth-pair recall 1.0 —
+      BENCH/embscale_4m_c32_b22{,_star}.json).
     """
+    if mode not in ("all", "star"):
+        raise ValueError(f"mode must be 'all' or 'star', got {mode!r}")
     # The bucket self-join and the pair-dedup run over SLIM (bucket, id)
     # rows; vectors attach per UNIQUE candidate pair afterwards. The
     # first formulation carried both full vectors through the join AND
@@ -214,13 +236,26 @@ def neardup_pairs(
         bk = bk.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
             F.col("_bn") <= bucket_cap
         ).drop("_bn")
-    cands = (
-        bk.select("bucket", F.col(id_col).alias("id_a"))
-        .join(bk.select("bucket", F.col(id_col).alias("id_b")), "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b")
-    )
+    if mode == "star":
+        # one window exchange tags each row with its bucket's min id;
+        # edges = (center, member), m−1 per bucket instead of m(m−1)/2
+        wb = Window.partitionBy("bucket")
+        cands = (
+            bk.withColumn("_ctr", F.min(id_col).over(wb))
+            .filter(F.col(id_col) != F.col("_ctr"))
+            .select(
+                F.col("_ctr").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        cands = (
+            bk.select("bucket", F.col(id_col).alias("id_a"))
+            .join(bk.select("bucket", F.col(id_col).alias("id_b")), "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b")
+        )
     vecs = corpus.select(
         id_col,
         F.col(vec_col).alias("_v"),

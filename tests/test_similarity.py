@@ -197,3 +197,43 @@ def test_semantic_dedup_planted_clusters(spark):
     assert {got[i] for i in (100, 101, 102, 103)} == {100}
     kept = [v for v, c in got.items() if v == c]
     assert set(kept) == {0, 100, *range(200, 220)}
+
+
+def test_neardup_pairs_star_mode_same_components(spark):
+    """Star mode emits O(m) edges per cluster but must yield the SAME
+    component structure as all-pairs mode on planted clusters."""
+    import numpy as np
+
+    from dedupe_trees_spark.operators.components import assign_components
+    from dedupe_trees_spark.operators.similarity import neardup_pairs
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    rows = []
+    for base_id in (0, 100, 200):
+        seed_vec = rng.standard_normal(dim)
+        for j in range(12):
+            noisy = seed_vec + 0.02 * rng.standard_normal(dim)
+            rows.append((base_id + j, [float(x) for x in noisy]))
+    for k in range(300, 340):
+        rows.append((k, [float(x) for x in rng.standard_normal(dim)]))
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def comps(mode):
+        p = neardup_pairs(
+            e, tau=0.9, dim=dim, n_bits=4, n_tables=32, seed=1, mode=mode
+        )
+        c = assign_components(
+            e.select("vec_id"), p, id_col="vec_id", a="id_a", b="id_b"
+        )
+        return {r["vec_id"]: r["component_id"] for r in c.collect()}
+
+    all_mode, star_mode = comps("all"), comps("star")
+    assert all_mode == star_mode
+    n_all = neardup_pairs(
+        e, tau=0.9, dim=dim, n_bits=4, n_tables=32, seed=1, mode="all"
+    ).count()
+    n_star = neardup_pairs(
+        e, tau=0.9, dim=dim, n_bits=4, n_tables=32, seed=1, mode="star"
+    ).count()
+    assert n_star < n_all  # 12-member cliques: 11 star edges vs 66 pairs

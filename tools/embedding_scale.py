@@ -21,7 +21,7 @@ component (the SemDeDup keep-one-per-cluster semantics), measured as
 (a) sampled same-cluster truth-pair component-recall and (b) the
 number of distinct components covering each cluster's members.
 
-Usage: python tools/embedding_scale.py [n] [cores] [OUT.json]
+Usage: python tools/embedding_scale.py [n] [cores] [OUT.json] [n_bits] [all|star]
 """
 
 from __future__ import annotations
@@ -38,7 +38,7 @@ N_CLUSTERS = 1000
 CLUSTERED_FRAC = 0.1
 EPS = 0.1
 TAU = 0.9
-N_BITS = 18
+N_BITS = 18  # overridable via argv[4]: size buckets for the corpus
 N_TABLES = 8
 
 
@@ -89,6 +89,8 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    n_bits = int(sys.argv[4]) if len(sys.argv) > 4 else N_BITS
+    mode = sys.argv[5] if len(sys.argv) > 5 else "all"
 
     import numpy as np
 
@@ -111,13 +113,13 @@ def main() -> int:
     e.write.mode("overwrite").parquet("/dev/shm/embsc_vecs")
     e = spark.read.parquet("/dev/shm/embsc_vecs")
     res: dict = {"n": n, "cores": cores, "dim": DIM, "tau": TAU,
-                 "n_bits": N_BITS, "n_tables": N_TABLES,
+                 "n_bits": n_bits, "n_tables": N_TABLES, "mode": mode,
                  "n_clusters": N_CLUSTERS,
                  "n_clustered": int(n * CLUSTERED_FRAC)}
 
     t0 = time.time()
     pairs = neardup_pairs(
-        e, tau=TAU, dim=DIM, n_bits=N_BITS, n_tables=N_TABLES, seed=42
+        e, tau=TAU, dim=DIM, n_bits=n_bits, n_tables=N_TABLES, seed=42, mode=mode
     )
     pairs.write.mode("overwrite").parquet("/dev/shm/embsc_pairs")
     pairs = spark.read.parquet("/dev/shm/embsc_pairs")
