@@ -210,3 +210,44 @@ def block_urls(
             hit = p if hit is None else (hit | p)
         out = out.filter(~hit)
     return out
+
+
+def extract_links(html: Column | str) -> Column:
+    """All href="..." targets in an HTML string (array<string>).
+
+    Pure codegen (`regexp_extract_all`); the RE2-compatible pattern is
+    shared verbatim with the DuckDB oracle. Quote-delimited hrefs only
+    — the deliberate, documented subset (same stance as html_to_text's
+    regex tag strip).
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    return F.regexp_extract_all(c, F.lit(r'href="([^"]*)"'), F.lit(1))
+
+
+def outlink_stats(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Link-graph foundation: per target registered domain, the total
+    outlink count and the number of distinct linking documents.
+
+    Shape at 10^12 docs: extract + explode are pipeline-local over the
+    scan (~links/doc rows, same volume class as the gram build); the
+    ONLY exchange is the partial-aggregated groupBy on target domain.
+    Skewed in-link domains (every page links example.com) are safe:
+    count is fixed-width and partially aggregated map-side; the
+    distinct-doc count shuffles (domain, doc) once — candidate for a
+    sketch (HLL) at extreme scale, exact here.
+    """
+    links = df.select(
+        F.col(id_col).alias("_src"),
+        F.explode(extract_links(html_col)).alias("_link"),
+    )
+    return (
+        links.withColumn("domain", extract_domain("_link"))
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("_src").alias("n_docs"),
+        )
+    )

@@ -1965,3 +1965,72 @@ LIMIT 20
 
 QUERIES.update({"top_ngrams": q_top_ngrams})
 ORACLES.update({"top_ngrams": SQL_TOP_NGRAMS})
+
+
+def q_outlink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + link-graph stats: both engines wrap the
+    fixture text in the same deterministic HTML with 1-3 anchors keyed
+    on doc_id, extract href targets with the shared regex, and count
+    per-target-domain links + distinct linking docs."""
+    from dedupe_trees_spark.operators.domains import outlink_stats
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>'), F.col("text"), F.lit('</p>'),
+        F.lit('<a href="https://site'), (did % 7).cast("string"),
+        F.lit('.com/page'), (did % 11).cast("string"), F.lit('">l1</a>'),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<a href="http://www.site'), (did % 5).cast("string"),
+                F.lit('.com:8080/x">l2</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit('<a href="https://ext'), (did % 13).cast("string"),
+                F.lit('.org/y?q=1">l3</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return outlink_stats(
+        d.withColumn("html", html), html_col="html", id_col="doc_id"
+    )
+
+
+SQL_OUTLINK_STATS = """
+WITH h AS (
+  SELECT doc_id,
+    '<html><body><p>' || text || '</p>'
+    || '<a href="https://site' || CAST(doc_id % 7 AS VARCHAR)
+    || '.com/page' || CAST(doc_id % 11 AS VARCHAR) || '">l1</a>'
+    || (CASE WHEN doc_id % 3 = 0
+             THEN '<a href="http://www.site' || CAST(doc_id % 5 AS VARCHAR)
+                  || '.com:8080/x">l2</a>' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+             THEN '<a href="https://ext' || CAST(doc_id % 13 AS VARCHAR)
+                  || '.org/y?q=1">l3</a>' ELSE '' END)
+    || '</body></html>' AS html
+  FROM documents
+),
+links AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+  FROM h
+),
+dom AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_extract(lower(link),
+      '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', ''), '^www\\.', '')
+      AS domain
+  FROM links
+)
+SELECT domain, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+FROM dom WHERE domain != ''
+GROUP BY domain
+"""
+
+QUERIES.update({"outlink_stats": q_outlink_stats})
+ORACLES.update({"outlink_stats": SQL_OUTLINK_STATS})

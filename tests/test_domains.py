@@ -127,3 +127,19 @@ def test_block_urls_domains_and_patterns(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_extract_links_and_outlink_stats(spark):
+    from dedupe_trees_spark.operators.domains import extract_links, outlink_stats
+
+    rows = [
+        (1, '<a href="https://a.com/x">1</a><a href="http://www.b.com:80/y">2</a>'),
+        (2, '<a href="https://a.com/z?q=1">3</a> no more links'),
+        (3, "plain text, zero anchors"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", extract_links("html").alias("l")).collect()}
+    assert got[1] == ["https://a.com/x", "http://www.b.com:80/y"]
+    assert got[2] == ["https://a.com/z?q=1"] and got[3] == []
+    stats = {r["domain"]: (r["n_links"], r["n_docs"]) for r in outlink_stats(df).collect()}
+    assert stats == {"a.com": (2, 2), "b.com": (1, 1)}
