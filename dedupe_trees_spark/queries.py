@@ -2034,3 +2034,57 @@ GROUP BY domain
 
 QUERIES.update({"outlink_stats": q_outlink_stats})
 ORACLES.update({"outlink_stats": SQL_OUTLINK_STATS})
+
+
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: n-gram-set CONTAINMENT |A∩B| / min(|A|,|B|)
+    ≥ 0.9 — catches a short doc quoted inside a long one, which
+    symmetric Jaccard structurally misses (J ≤ |A|/|B| for A ⊆ B).
+    Same skew-guarded inverted-index plan as ngram_jaccard_pairs
+    (DF-capped shingle space, groupBy+join-back sizes); only the final
+    score arithmetic differs. Complements containment_dedup (exact
+    VERBATIM runs) with a bag-of-shingles notion that tolerates small
+    edits inside the quoted span."""
+    sets = _doc_shingle_sets(spark, sf_dir)
+    all_grams = sets.select("doc_id", F.explode("shingles").alias("g"))
+    rare = (
+        all_grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+        .filter(F.col("gram_df") <= NGRAM_DF_CAP)
+        .select("g")
+    )
+    exploded = all_grams.join(rare, "g")
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn(
+            "containment",
+            F.col("c").cast("double") / F.least("na", "nb"),
+        )
+        .filter(F.col("containment") >= 0.9)
+        .select("doc_a", "doc_b", F.round("containment", 8).alias("containment"))
+    )
+
+
+SQL_NGRAM_CONTAINMENT_PAIRS = f"""
+WITH {_JACCARD_CAPPED_CTES},
+cpairs AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.c AS DOUBLE) / least(sa.n, sb.n) AS containment
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, round(containment, 8) AS containment
+FROM cpairs WHERE containment >= 0.9
+"""
+
+QUERIES.update({"ngram_containment_pairs": q_ngram_containment_pairs})
+ORACLES.update({"ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS})
