@@ -102,6 +102,7 @@ def main() -> int:
         "gopher_quality_flags",
         "containment_dedup",
         "top_ngrams",
+        "outlink_stats",
     ]
     qs = Q.QUERIES
     for name in bench_queries:
