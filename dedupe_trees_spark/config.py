@@ -108,6 +108,11 @@ class PipelineConfig:
     # domain-cap → sample order real training pipelines use.
     decontam_eval_path: str | None = None
     decontam_n: int = 13
+    # "gram" joins on the n-gram string (oracle-exact); "hash" joins on
+    # xxhash64 of the token-array slice — 1.5x measured at every core
+    # count, 8 B/entry broadcast, one-sided over-flag collision risk
+    # only (operators/decontaminate.py module notes) — the scale path.
+    decontam_join_on: str = "gram"
     domain_cap: int = 0  # 0 = no per-domain cap
     sample_frac: float = 1.0  # 1.0 = keep everything
     # crawl-hygiene battery, also part of the training-set export:
@@ -162,6 +167,13 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
         "training-set export",
     )
     p.add_argument("--decontam-n", type=int, default=13, dest="decontam_n")
+    p.add_argument(
+        "--decontam-hash", action="store_const", const="hash",
+        default="gram", dest="decontam_join_on",
+        help="join decontamination on xxhash64 of the token-array slice "
+        "instead of the gram string (1.5x, 8 B/entry broadcast; "
+        "one-sided over-flag collision risk only — the scale path)",
+    )
     p.add_argument(
         "--domain-cap", type=int, default=0, dest="domain_cap",
         help="keep at most this many pages per registered domain in the "

@@ -521,7 +521,8 @@ class DedupePipeline:
         if cfg.decontam_eval_path:
             ev = self.spark.read.parquet(cfg.decontam_eval_path)
             out = decontaminate(
-                out, ev, n=cfg.decontam_n, text_col="text", id_col="url"
+                out, ev, n=cfg.decontam_n, text_col="text", id_col="url",
+                join_on=cfg.decontam_join_on,
             )
         if cfg.domain_cap > 0:
             out = (

@@ -659,3 +659,36 @@ def test_from_args_hygiene_flags_roundtrip():
     base = from_args(["--input", "/i", "--ckpt", "/c"])
     assert not base.quality_filter and not base.scrub_pii
     assert base.blocklist_path is None
+
+
+def test_decontam_hash_mode_cli_and_parity(spark, tmp_path):
+    """--decontam-hash roundtrips through from_args, and the hash-mode
+    export equals the gram-mode export on a real pipeline run (slice
+    equality <=> string equality; collisions only ever over-flag)."""
+    inp = str(tmp_path / "pages")
+    evp = str(tmp_path / "eval")
+    generate_pages(spark, GenConfig(n_docs=300, seed=13), partitions=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    pages = spark.read.parquet(inp)
+    pages.orderBy("url").limit(4).select("url", "text").write.mode(
+        "overwrite"
+    ).parquet(evp)
+
+    cfg = from_args(
+        ["--input", inp, "--ckpt", str(tmp_path / "c1"),
+         "--decontam-eval", evp, "--decontam-hash"]
+    )
+    assert cfg.decontam_join_on == "hash"
+    assert from_args(["--input", "/i", "--ckpt", "/c"]).decontam_join_on == "gram"
+
+    outs = {}
+    for mode, ck in (("gram", "cg"), ("hash", "ch")):
+        c = PipelineConfig(
+            input_path=inp, ckpt_dir=str(tmp_path / ck), bucket_cap=64,
+            decontam_eval_path=evp, decontam_join_on=mode,
+        )
+        p = DedupePipeline(spark, c)
+        p.run()
+        outs[mode] = sorted(r["url"] for r in p.training_set().collect())
+    assert outs["gram"] == outs["hash"] and outs["gram"]
