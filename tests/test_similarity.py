@@ -237,3 +237,37 @@ def test_neardup_pairs_star_mode_same_components(spark):
         e, tau=0.9, dim=dim, n_bits=4, n_tables=32, seed=1, mode="star"
     ).count()
     assert n_star < n_all  # 12-member cliques: 11 star edges vs 66 pairs
+
+
+def test_neardup_pairs_star_mode_documented_limitation(spark):
+    """Negative case pinning the documented star-mode trade-off: when a
+    bucket's min-id member is BELOW tau to the others (a bucket that
+    mixes a near-orthogonal center with a tight pair), the star edges
+    verify-fail and the pair is lost unless another bucket separates
+    them — so all-pairs mode must stay the contract for exhaustive
+    pair enumeration."""
+    import numpy as np
+
+    from dedupe_trees_spark.operators.similarity import neardup_pairs
+
+    dim = 8
+    base = np.zeros(dim); base[0] = 1.0
+    tight_a = base.copy(); tight_b = base.copy(); tight_b[1] = 0.01
+    ortho = np.zeros(dim); ortho[1] = 1.0
+    # single table, zero bits -> ONE bucket holding everything: the
+    # star centers on min id (the ortho vector), both star edges fail
+    # the cosine verify, and the tight pair is unreachable
+    rows = [
+        (0, [float(x) for x in ortho]),
+        (1, [float(x) for x in tight_a]),
+        (2, [float(x) for x in tight_b]),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    star = neardup_pairs(
+        e, tau=0.9, dim=dim, n_bits=0, n_tables=1, seed=1, mode="star"
+    ).collect()
+    full = neardup_pairs(
+        e, tau=0.9, dim=dim, n_bits=0, n_tables=1, seed=1, mode="all"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in full] == [(1, 2)]
+    assert star == []  # the documented loss case — use mode="all" to enumerate
