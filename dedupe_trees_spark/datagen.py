@@ -38,6 +38,10 @@ _VOCAB = [
               "view", "list", "main", "home")
 ]
 _LANGS = ["en", "zh", "es", "de", "fr"]
+
+# appended verbatim when GenConfig.stopword_every > 0 (all 8 Gopher
+# stopwords as whole tokens, so flag_stop can pass on synthetic text)
+_STOPWORD_TAIL = "it is the case that we have to be of use and go with".split()
 _LANG_W = np.array([0.45, 0.15, 0.15, 0.15, 0.10])
 _EPOCH = datetime.datetime(2024, 1, 1)
 
@@ -61,6 +65,14 @@ class GenConfig:
     mean_tokens: int = 120
     truth_cols: bool = True
     vocab: list[str] = field(default_factory=lambda: list(_VOCAB))
+    # 0 (default) = off, bit-identical to historical outputs. When k>0,
+    # every k-th CLUSTER (keyed on the truth root, so exact copies stay
+    # byte-identical and near members share the tail) gets an appended
+    # English-stopword sentence — lets Gopher-style stopword rules pass
+    # on synthetic corpora (the base vocab has no English stopwords).
+    # Near-dup Jaccard shifts slightly upward for injected clusters
+    # (+8 shared tokens); keep off for calibration-sensitive benches.
+    stopword_every: int = 0
 
 
 def _block_type(cfg: GenConfig, block_id: int) -> tuple[str, int]:
@@ -160,6 +172,10 @@ def _one_doc(cfg: GenConfig, doc_id: int) -> dict:
     else:  # pragma: no cover
         raise AssertionError(kind)
 
+    if cfg.stopword_every > 0:
+        key = root if truth_kind != "unique" else doc_id
+        if key % cfg.stopword_every == 0:
+            toks = toks + _STOPWORD_TAIL
     text = " ".join(toks)
     src = int(rng.integers(0, cfg.n_sources))
     depth = int(rng.integers(1, 7))

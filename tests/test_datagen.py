@@ -84,3 +84,23 @@ def test_copy_pattern_urls_exist(spark):
     names = df["url"].str.rsplit("/", n=1).str[-1]
     assert names.str.startswith("Copy of ").any()
     assert names.str.contains(r" \(\d+\)\.html$", regex=True).any()
+
+
+def test_stopword_every_default_off_and_cluster_consistent():
+    from dedupe_trees_spark.datagen import (
+        _STOPWORD_TAIL, GenConfig, generate_pages_pandas,
+    )
+
+    base = generate_pages_pandas(GenConfig(n_docs=400, seed=42))
+    same = generate_pages_pandas(GenConfig(n_docs=400, seed=42, stopword_every=0))
+    assert (base["text"] == same["text"]).all()  # default is bit-identical
+    assert not base["text"].str.contains(" the ").any()
+
+    inj = generate_pages_pandas(GenConfig(n_docs=400, seed=42, stopword_every=2))
+    tail = " ".join(_STOPWORD_TAIL)
+    assert inj["text"].str.endswith(tail).any()
+    assert not inj["text"].str.endswith(tail).all()
+    # exact truth clusters must stay byte-identical under injection
+    ex = inj[inj.truth_kind == "exact"]
+    for _, grp in ex.groupby("truth_cluster"):
+        assert grp["text"].nunique() == 1
