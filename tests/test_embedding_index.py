@@ -1,0 +1,94 @@
+"""Incremental embedding index: parity vs from-scratch + idempotency."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_trees_spark.io import marked
+from dedupe_trees_spark.plans.embedding_index import (
+    init_embedding_index,
+    update_embedding_index,
+)
+
+DIM = 16
+CFG = dict(tau=0.9, dim=DIM, n_bits=4, n_tables=32, seed=7)
+
+
+def _vectors(ids, rng_seed=5):
+    """Planted clusters spanning batch boundaries: ids sharing
+    (id % 10) < 3 belong to cluster (id % 10) when id < 200; noise
+    otherwise. Deterministic per id."""
+    rows = []
+    for i in ids:
+        base_rng = np.random.default_rng(1000 + (i % 10))
+        noise_rng = np.random.default_rng(rng_seed + i)
+        if i < 200 and i % 10 < 3:
+            v = base_rng.standard_normal(DIM) + 0.02 * noise_rng.standard_normal(DIM)
+        else:
+            v = noise_rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def _labels(spark, index_dir):
+    from dedupe_trees_spark.io import read_stage
+
+    return {
+        r["vec_id"]: r["component_id"]
+        for r in read_stage(spark, index_dir, "vectors").collect()
+    }
+
+
+def test_update_matches_from_scratch_and_is_idempotent(spark, tmp_path):
+    b1 = _vectors(range(0, 120))
+    b2 = _vectors(range(120, 260))
+    df1 = spark.createDataFrame(b1, ["vec_id", "embedding"])
+    df2 = spark.createDataFrame(b2, ["vec_id", "embedding"])
+    both = spark.createDataFrame(b1 + b2, ["vec_id", "embedding"])
+
+    inc_dir = str(tmp_path / "inc")
+    full_dir = str(tmp_path / "full")
+    init_embedding_index(spark, df1, inc_dir, **CFG)
+    rep = update_embedding_index(spark, df2, inc_dir, "02", **CFG)
+    assert rep["indexed"] == 260
+    init_embedding_index(spark, both, full_dir, **CFG)
+
+    assert _labels(spark, inc_dir) == _labels(spark, full_dir)
+    # the planted cross-batch clusters actually merged (not all trivial)
+    lab = _labels(spark, inc_dir)
+    for c in range(3):
+        members = [i for i in range(260) if i < 200 and i % 10 == c]
+        assert len({lab[m] for m in members}) == 1
+        assert any(m >= 120 for m in members)  # spans the batch boundary
+
+    # idempotency: same batch id no-ops; re-ingest of same rows no-ops
+    rep2 = update_embedding_index(spark, df2, inc_dir, "02", **CFG)
+    assert rep2.get("skipped")
+    rep3 = update_embedding_index(spark, df2, inc_dir, "02b", **CFG)
+    assert rep3["indexed"] == 260
+    assert _labels(spark, inc_dir) == _labels(spark, full_dir)
+    assert marked(inc_dir, "emb_buckets", "_BATCH_02")
+    assert marked(inc_dir, "emb_buckets", "_BATCH_02b")
+
+
+def test_three_batch_chain_parity(spark, tmp_path):
+    batches = [_vectors(range(a, a + 90)) for a in (0, 90, 180)]
+    inc_dir = str(tmp_path / "inc3")
+    init_embedding_index(
+        spark, spark.createDataFrame(batches[0], ["vec_id", "embedding"]),
+        inc_dir, **CFG,
+    )
+    for i, b in enumerate(batches[1:], start=2):
+        update_embedding_index(
+            spark, spark.createDataFrame(b, ["vec_id", "embedding"]),
+            inc_dir, f"{i:02d}", **CFG,
+        )
+    full_dir = str(tmp_path / "full3")
+    init_embedding_index(
+        spark,
+        spark.createDataFrame(sum(batches, []), ["vec_id", "embedding"]),
+        full_dir, **CFG,
+    )
+    assert _labels(spark, inc_dir) == _labels(spark, full_dir)
