@@ -92,3 +92,25 @@ def test_three_batch_chain_parity(spark, tmp_path):
         full_dir, **CFG,
     )
     assert _labels(spark, inc_dir) == _labels(spark, full_dir)
+
+
+def test_cli_init_and_update(spark, tmp_path, capsys):
+    import json
+
+    import run_embedding_index as cli
+
+    b1 = _vectors(range(0, 80))
+    b2 = _vectors(range(80, 140))
+    inp1, inp2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame(b1, ["vec_id", "embedding"]).write.parquet(inp1)
+    spark.createDataFrame(b2, ["vec_id", "embedding"]).write.parquet(inp2)
+    idx = str(tmp_path / "idx")
+    args = ["--tau", "0.9", "--dim", str(DIM), "--n-bits", "4",
+            "--n-tables", "32", "--seed", "7"]
+    assert cli.main(["--init", "--input", inp1, "--index", idx] + args) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["indexed"] == 80
+    assert cli.main(["--input", inp2, "--index", idx, "--batch", "02"] + args) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["indexed"] == 140
+    assert cli.main(["--index", idx, "--input", inp2]) == 2  # missing --batch
