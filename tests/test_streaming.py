@@ -210,3 +210,71 @@ def test_streaming_neardup_folds_into_index(spark, tmp_path):
     finally:
         q2.stop()
     assert read_stage(spark, idx_dir, "canonical").count() == 600
+
+
+def test_streaming_semantic_folds_into_embedding_index(spark, tmp_path):
+    """Embedding twin of the near-dup stream test: micro-batches fold
+    into the embedding index; drained-stream labels equal a from-scratch
+    init over everything ingested; per-epoch markers exist; a restart
+    with the same checkpoint is a no-op."""
+    import os
+
+    from tests.test_embedding_index import CFG, _vectors
+    from dedupe_trees_spark.io import read_stage
+    from dedupe_trees_spark.plans.embedding_index import init_embedding_index
+    from dedupe_trees_spark.streaming.semantic_stream import (
+        semantic_index_stream,
+    )
+
+    rows = _vectors(range(0, 210))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    idx_dir = str(tmp_path / "eidx")
+    full_dir = str(tmp_path / "efull")
+    stream_dir = str(tmp_path / "stream_in")
+    init_embedding_index(spark, df.filter("vec_id < 70"), idx_dir, **CFG)
+    df.filter("vec_id >= 70 and vec_id < 140").coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dir)
+    df.filter("vec_id >= 140").coalesce(1).write.mode("append").parquet(
+        stream_dir
+    )
+
+    dim = CFG["dim"]
+    q = semantic_index_stream(
+        spark, stream_dir, idx_dir,
+        schema=f"vec_id long, embedding array<double>",
+        tau=CFG["tau"], dim=dim, n_bits=CFG["n_bits"],
+        n_tables=CFG["n_tables"], seed=CFG["seed"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    markers = [
+        n for n in os.listdir(os.path.join(idx_dir, "emb_buckets"))
+        if n.startswith("_BATCH_e")
+    ]
+    assert len(markers) == 2
+
+    init_embedding_index(spark, df, full_dir, **CFG)
+    inc = {
+        r["vec_id"]: r["component_id"]
+        for r in read_stage(spark, idx_dir, "vectors").collect()
+    }
+    full = {
+        r["vec_id"]: r["component_id"]
+        for r in read_stage(spark, full_dir, "vectors").collect()
+    }
+    assert inc == full and len(inc) == 210
+
+    q2 = semantic_index_stream(
+        spark, stream_dir, idx_dir,
+        tau=CFG["tau"], dim=dim, n_bits=CFG["n_bits"],
+        n_tables=CFG["n_tables"], seed=CFG["seed"],
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert read_stage(spark, idx_dir, "vectors").count() == 210
