@@ -114,3 +114,23 @@ def test_cli_init_and_update(spark, tmp_path, capsys):
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["indexed"] == 140
     assert cli.main(["--index", idx, "--input", inp2]) == 2  # missing --batch
+
+
+def test_gen_vectors_partition_independent(spark):
+    """The BENCH evidence relies on the harness generator being a pure
+    function of vec_id: any partitioning must produce identical rows."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    spark.sparkContext.addPyFile("/root/repo/tools/embedding_scale.py")
+    from embedding_scale import gen_vectors
+
+    a = {
+        r["vec_id"]: tuple(r["embedding"])
+        for r in gen_vectors(spark, 500, parts=3).collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r["embedding"])
+        for r in gen_vectors(spark, 500, parts=11).collect()
+    }
+    assert a == b and len(a) == 500
