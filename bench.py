@@ -103,6 +103,7 @@ def main() -> int:
         "containment_dedup",
         "top_ngrams",
         "outlink_stats",
+        "corpus_stats",
     ]
     qs = Q.QUERIES
     for name in bench_queries:

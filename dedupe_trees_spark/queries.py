@@ -2088,3 +2088,55 @@ FROM cpairs WHERE containment >= 0.9
 
 QUERIES.update({"ngram_containment_pairs": q_ngram_containment_pairs})
 ORACLES.update({"ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS})
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set data-card stats: per-language doc counts, total
+    chars, and EXACT length/token quantiles (p50/p90/p99, linear
+    interpolation — Spark `percentile` and DuckDB `quantile_cont`
+    compute the same estimator, so this is equality-oracled, unlike
+    sketch-based approx quantiles). One partial-agg exchange on lang;
+    at 10^12 docs swap `percentile` for `percentile_approx` and the
+    oracle for a tolerance check — documented trade, exact here."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+    )
+    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    out = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.percentile("n_chars", qs).alias("_cq"),
+        F.percentile("ws_tokens", qs).alias("_tq"),
+    )
+    return out.select(
+        "lang", "n_docs", "total_chars",
+        F.round(F.col("_cq")[0], 6).alias("chars_p50"),
+        F.round(F.col("_cq")[1], 6).alias("chars_p90"),
+        F.round(F.col("_cq")[2], 6).alias("chars_p99"),
+        F.round(F.col("_tq")[0], 6).alias("tokens_p50"),
+        F.round(F.col("_tq")[1], 6).alias("tokens_p90"),
+        F.round(F.col("_tq")[2], 6).alias("tokens_p99"),
+    )
+
+
+SQL_CORPUS_STATS = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS ws_tokens
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS chars_p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS chars_p99,
+       round(quantile_cont(ws_tokens, 0.5), 6) AS tokens_p50,
+       round(quantile_cont(ws_tokens, 0.9), 6) AS tokens_p90,
+       round(quantile_cont(ws_tokens, 0.99), 6) AS tokens_p99
+FROM d GROUP BY lang
+"""
+
+QUERIES.update({"corpus_stats": q_corpus_stats})
+ORACLES.update({"corpus_stats": SQL_CORPUS_STATS})
