@@ -104,6 +104,9 @@ def main() -> int:
         "top_ngrams",
         "outlink_stats",
         "corpus_stats",
+        "jaccard_calibration_hist",
+        "unigram_logprob_scores",
+        "crawl_snapshot_diff",
     ]
     qs = Q.QUERIES
     for name in bench_queries:

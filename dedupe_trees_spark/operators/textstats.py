@@ -337,3 +337,65 @@ def gopher_rules(
     for name in flags:
         keep = keep & F.col(name)
     return out.withColumn("gopher_keep", keep).drop("_words", "_lines")
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Frequency-based quality proxy: mean unigram log-probability per
+    document under the corpus's OWN maximum-likelihood unigram LM — the
+    cheap stand-in for the KenLM-perplexity filters production web-text
+    pipelines run (CCNet-style): gibberish / OCR noise / boilerplate
+    keyboard-mash scores far below fluent text because its tokens are
+    corpus-rare. Complements the rule-based ``gopher_rules`` battery
+    (which a repetitive spam page can pass) with a distributional
+    signal.
+
+    Tokens with corpus count < ``min_count`` collapse into one UNK type
+    whose probability is the POOLED rare mass (unk_mass/total), so the
+    broadcast vocabulary is bounded by Zipf at total_tokens/min_count
+    entries regardless of corpus size — at 10^12 documents the count
+    floor is what keeps the model broadcastable (~10^7 entries at
+    min_count≈10^4), and rare-token docs still score low because the
+    pooled mass is small. Plan shape: one partial-agg exchange to count
+    tokens (vocab-sized output), a single-row aggregate for
+    (total, unk_mass), then the corpus side is a pure scan — the token
+    stream left-joins the BROADCAST vocab, so no corpus-sized shuffle
+    exists anywhere except the final per-doc groupBy on the uniform
+    ``id_col`` key. A shuffle join on the token key would funnel every
+    occurrence of "the" into one partition; the broadcast is not an
+    optimization here, it is the skew design.
+
+    Returns (id_col, n_tokens, logprob) with logprob = round(mean ln
+    p(token), 6) — same arithmetic as the DuckDB oracle twin
+    (queries.py::SQL_UNIGRAM_LOGPROB_SCORES), value-hash checked.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"),
+        F.sum(
+            F.when(F.col("c") < min_count, F.col("c")).otherwise(F.lit(0))
+        ).alias("unk_mass"),
+    )
+    vocab = counts.filter(F.col("c") >= min_count)
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_lp",
+            F.log(
+                F.coalesce(F.col("c"), F.col("unk_mass")).cast("double")
+                / F.col("total")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("logprob"),
+    )

@@ -390,14 +390,15 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
 NGRAM_DF_CAP = 64
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs (J ≥ 0.8), relational plan:
-    shared-shingle inverted index → intersection counts → Jaccard.
+def _capped_gram_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared relational core of the exact n-gram family: DF-capped
+    shingle inverted index → pairwise intersection counts → per-pair
+    (doc_a, doc_b, c, na, nb) ready for Jaccard/containment arithmetic.
 
     Stop-shingle guard: shingles appearing in more than NGRAM_DF_CAP
     documents are dropped from the index — and from the set sizes — on
     BOTH engine and oracle sides, so the semantics stay a well-defined
-    (filtered-space) Jaccard. A shingle shared by m docs emits m² join
+    (filtered-space) measure. A shingle shared by m docs emits m² join
     rows; uncapped, one boilerplate phrase across 10^6 pages is 10^12
     rows from a single key. Fixture max DF is 25 (sf0.1), so results are
     unchanged at test scale.
@@ -426,6 +427,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (J ≥ 0.8) over the shared
+    DF-capped inverted-index core (`_capped_gram_pair_scores` — the
+    skew guard and its rationale live there)."""
+    return (
+        _capped_gram_pair_scores(spark, sf_dir)
         .withColumn("jaccard", F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")))
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
@@ -2045,25 +2055,8 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     score arithmetic differs. Complements containment_dedup (exact
     VERBATIM runs) with a bag-of-shingles notion that tolerates small
     edits inside the quoted span."""
-    sets = _doc_shingle_sets(spark, sf_dir)
-    all_grams = sets.select("doc_id", F.explode("shingles").alias("g"))
-    rare = (
-        all_grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("gram_df"))
-        .filter(F.col("gram_df") <= NGRAM_DF_CAP)
-        .select("g")
-    )
-    exploded = all_grams.join(rare, "g")
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        _capped_gram_pair_scores(spark, sf_dir)
         .withColumn(
             "containment",
             F.col("c").cast("double") / F.least("na", "nb"),
@@ -2140,3 +2133,142 @@ FROM d GROUP BY lang
 
 QUERIES.update({"corpus_stats": q_corpus_stats})
 ORACLES.update({"corpus_stats": SQL_CORPUS_STATS})
+
+
+def q_jaccard_calibration_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration histogram for near-dup config: the exact
+    shingle-Jaccard distribution over every candidate pair (any shared
+    DF-capped shingle), binned at 0.05. This is the diagnostic that
+    picks tau and the MinHash bands×rows operating point — the S-curve
+    P[candidate] = 1-(1-j^r)^b must put its knee where the corpus's
+    pair mass thins out, and this histogram is where that mass sits.
+    Same skew-guarded relational core as ngram_jaccard_pairs
+    (`_capped_gram_pair_scores`); at the 10^12-doc design point run it
+    over a deterministic-hash document sample (deterministic_sample) —
+    the histogram is an estimator, a 10^-4 sample of pairs suffices.
+
+    Bin arithmetic (floor(j*20)/20) is identical IEEE-double work on
+    both sides, so the oracle check is value-hash equality."""
+    scored = _capped_gram_pair_scores(spark, sf_dir).withColumn(
+        "jaccard",
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
+    )
+    return (
+        scored.withColumn(
+            "j_bin", F.floor(F.col("jaccard") * 20).cast("double") / 20
+        )
+        .groupBy("j_bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SQL_JACCARD_CALIBRATION_HIST = f"""
+WITH {_JACCARD_CAPPED_CTES},
+jall AS (
+  SELECT CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT CAST(floor(jaccard * 20) AS DOUBLE) / 20 AS j_bin, count(*) AS n_pairs
+FROM jall GROUP BY 1
+"""
+
+QUERIES.update({"jaccard_calibration_hist": q_jaccard_calibration_hist})
+ORACLES.update({"jaccard_calibration_hist": SQL_JACCARD_CALIBRATION_HIST})
+
+
+def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram-LM quality scores (CCNet-style
+    perplexity-filter stand-in; operator docstring:
+    operators/textstats.py::unigram_logprob — broadcast vocab bounded
+    by Zipf at total/min_count, rare tokens pooled into UNK so no
+    corpus-sized shuffle exists on the token key). The derived view
+    appends a per-doc singleton token to every 50th document so the
+    UNK path is exercised — and oracle-checked — at fixture scale."""
+    from dedupe_trees_spark.operators.textstats import unigram_logprob
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.col("text"), F.lit(" zq"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return unigram_logprob(d, min_count=5)
+
+
+SQL_UNIGRAM_LOGPROB_SCORES = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0
+              THEN text || ' zq' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM base),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total,
+         CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS DOUBLE) AS unk_mass
+  FROM counts
+),
+vocab AS (SELECT tok, c FROM counts WHERE c >= 5),
+scored AS (
+  SELECT t.doc_id,
+         ln(CAST(coalesce(v.c, CAST(tot.unk_mass AS BIGINT)) AS DOUBLE) / tot.total) AS lp
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS logprob
+FROM scored GROUP BY doc_id
+"""
+
+QUERIES.update({"unigram_logprob_scores": q_unigram_logprob_scores})
+ORACLES.update({"unigram_logprob_scores": SQL_UNIGRAM_LOGPROB_SCORES})
+
+
+def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl diff (operators/crawl.py::snapshot_diff): two
+    snapshots derived deterministically from the documents fixture —
+    crawl A misses every (id%10==3) url, crawl B misses (id%10==7) and
+    re-crawled every (id%5==0) page to changed content — classified
+    added/vanished/changed/unchanged by one full-outer join on the url
+    key with map-side xxhash64 content fingerprints. The oracle states
+    the same classes by direct text comparison, so the check also pins
+    hash-identity ⇔ text-identity on this input."""
+    from dedupe_trees_spark.operators.crawl import snapshot_diff
+
+    d = load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != 3).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, key_col="doc_id", content_col="text")
+
+
+SQL_CRAWL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3
+),
+new_ AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 != 7
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'vanished'
+            WHEN o.text = n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new_ n ON o.doc_id = n.doc_id
+"""
+
+QUERIES.update({"crawl_snapshot_diff": q_crawl_snapshot_diff})
+ORACLES.update({"crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF})
