@@ -399,3 +399,59 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("_lp"), 6).alias("logprob"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    hot_df: int = 1000,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the feature-extraction op a
+    training pipeline runs for topic tagging / mixture balancing.
+    score(doc, t) = tf(doc, t) · ln(n_docs / df(t)), top k per doc under
+    the total order (score desc, term asc), so output is deterministic.
+
+    Skew-split join (the IDF relation keyed on the token is the classic
+    skewed join: "the" has one docfreq row but n_docs tf rows): tokens
+    with document frequency ≥ ``hot_df`` are joined via BROADCAST — that
+    hot set is Zipf-bounded at total_tf_rows/hot_df entries so it always
+    fits — while the cold remainder shuffle-joins safely because a key
+    with df < hot_df puts < hot_df rows in any partition. Both legs are
+    the same logical join; the union is exact, not approximate. The
+    final top-k window partitions on the uniform doc key.
+
+    Oracle twin: queries.py::SQL_TFIDF_KEYWORDS (single logical join —
+    the split is physical only), value-hash equality at round(·, 6).
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    hot = docfreq.filter(F.col("df_t") >= hot_df)
+    cold = docfreq.filter(F.col("df_t") < hot_df)
+    scored = (
+        tf.join(F.broadcast(hot), "term").unionByName(tf.join(cold, "term"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "score")
+    )

@@ -2272,3 +2272,57 @@ FROM old o FULL OUTER JOIN new_ n ON o.doc_id = n.doc_id
 
 QUERIES.update({"crawl_snapshot_diff": q_crawl_snapshot_diff})
 ORACLES.update({"crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF})
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (operator docstring:
+    operators/textstats.py::tfidf_keywords — skew-split token join:
+    broadcast-hot / shuffle-cold legs of the same logical join). The
+    derived view appends a per-doc singleton token to every 50th doc,
+    and hot_df=100 puts the fixture vocabulary in the broadcast leg and
+    those singletons in the shuffle leg, so BOTH physical paths are
+    oracle-checked. The oracle states the single logical join — the
+    split must be invisible in the values."""
+    from dedupe_trees_spark.operators.textstats import tfidf_keywords
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.col("text"), F.lit(" zq"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = tfidf_keywords(d, k=3, hot_df=100)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0
+              THEN text || ' zq' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         round(t.tf * ln(nd.n_docs / d.df_t), 6) AS score
+  FROM tf t JOIN dfq d USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+"""
+
+QUERIES.update({"tfidf_keywords": q_tfidf_keywords})
+ORACLES.update({"tfidf_keywords": SQL_TFIDF_KEYWORDS})

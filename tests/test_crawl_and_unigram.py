@@ -84,3 +84,34 @@ def test_calibration_hist_mass_matches_threshold_query(spark):
     ge08 = Q.QUERIES["ngram_jaccard_pairs"](spark, SF_DIR).count()
     assert sum(n for b, n in hist.items() if b >= 0.8) == ge08
     assert all(0.0 <= b <= 1.0 for b in hist)
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    # doc1: 'a a b', doc2: 'a c' ; n=2, df(a)=2, df(b)=1, df(c)=1
+    # idf(a)=ln(1)=0 -> score 0; b/c score ln(2)
+    df = spark.createDataFrame([(1, "a a b"), (2, "a c")], ["doc_id", "text"])
+    from dedupe_trees_spark.operators.textstats import tfidf_keywords
+
+    rows = {
+        (r.doc_id, r.rank): (r.term, r.score)
+        for r in tfidf_keywords(df, k=2, hot_df=2).collect()
+    }
+    ln2 = round(math.log(2), 6)
+    assert rows[(1, 1)] == ("b", ln2)
+    assert rows[(1, 2)] == ("a", 0.0)  # tie-free: score desc then term asc
+    assert rows[(2, 1)] == ("c", ln2)
+    assert rows[(2, 2)] == ("a", 0.0)
+
+
+def test_tfidf_skew_split_has_both_join_legs(spark):
+    out = Q.QUERIES["tfidf_keywords"](spark, SF_DIR)
+    out.collect()
+    plan = out._jdf.queryExecution().toString()
+    # the hot leg is broadcast BY CONSTRUCTION (explicit hint — holds at
+    # any scale); the cold leg's physical shape is deliberately left to
+    # Spark (cold keys are safe under any strategy; AQE broadcasts it at
+    # fixture scale). Pin the union-of-two-joins structure + the hint.
+    assert "BroadcastHashJoin" in plan
+    assert "Union" in plan
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("Join") >= 2
