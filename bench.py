@@ -107,6 +107,8 @@ def main() -> int:
         "jaccard_calibration_hist",
         "unigram_logprob_scores",
         "crawl_snapshot_diff",
+        "tfidf_keywords",
+        "quality_canonical_pick",
     ]
     qs = Q.QUERIES
     for name in bench_queries:

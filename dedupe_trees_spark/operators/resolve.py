@@ -88,6 +88,13 @@ def resolver_key(name: str, url_col: str = "url", ts_col: str = "warc_ts") -> Co
         return F.col(ts_col).asc()
     if name == "mod_date_newest":
         return F.col(ts_col).desc()
+    if name == "quality_best":
+        # LLM-pipeline resolver: keep the highest-quality cluster member
+        # (production dedup keeps the best page, not the min-id one).
+        # Caller attaches a `quality` column first — e.g.
+        # operators/textstats.py::quality_score — the chain mechanics
+        # (rank/ties/arbitrary terminal) are identical to every other key.
+        return F.col("quality").desc()
     if name == "arbitrary":
         return F.col(url_col).asc()
     raise ValueError(f"unknown resolver: {name!r}")

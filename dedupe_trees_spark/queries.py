@@ -2326,3 +2326,53 @@ SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
 
 QUERIES.update({"tfidf_keywords": q_tfidf_keywords})
 ORACLES.update({"tfidf_keywords": SQL_TFIDF_KEYWORDS})
+
+
+def q_quality_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted canonical selection — the LLM-pipeline variant
+    of the reference's resolver chain (R4/R8/R10 semantics, new key):
+    per duplicate set keep the HIGHEST-quality member (composite score
+    from operators/textstats.py::quality_score), ties broken by the
+    arbitrary terminal. Production web-text dedup keeps the best page
+    per cluster, not the min-id one; this shows the resolver framework
+    carries that policy with one extra named key (`quality_best`),
+    same single window shuffle on component_id."""
+    from dedupe_trees_spark.operators.textstats import quality_score
+
+    pages = documents_as_pages(spark, sf_dir).withColumn(
+        "component_id", F.col("lang")
+    )
+    scored = quality_score(pages)
+    resolved = R.resolve(scored, ["quality_best", "arbitrary"])
+    return resolved.filter("is_canonical").select(
+        "component_id", "url", F.round("quality", 8).alias("quality")
+    )
+
+
+SQL_QUALITY_CANONICAL_PICK = f"""
+WITH pages AS ({_PAGES_SQL}),
+feats AS (
+  SELECT url, lang AS component_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         length(regexp_replace(text, '[0-9A-Za-z\\s]', '', 'g')) AS punct,
+         length(text) AS n_chars
+  FROM pages
+), scored AS (
+  SELECT url, component_id,
+         (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+          + (1.0 - least(CAST(digits AS DOUBLE) / greatest(n_chars, 1) * 4, 1.0))
+          + (1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars, 1) * 4, 1.0))) / 3.0 AS quality
+  FROM feats
+), ranked AS (
+  SELECT component_id, url, quality,
+         row_number() OVER (PARTITION BY component_id
+                            ORDER BY quality DESC, url ASC) AS rn
+  FROM scored
+)
+SELECT component_id, url, round(quality, 8) AS quality
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES.update({"quality_canonical_pick": q_quality_canonical_pick})
+ORACLES.update({"quality_canonical_pick": SQL_QUALITY_CANONICAL_PICK})

@@ -140,3 +140,24 @@ def test_is_copy_pattern_expr(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     out = [r["c"] for r in df.select(is_copy_pattern("url").alias("c")).collect()]
     assert out == [e for _, e in cases]
+
+
+def test_quality_best_resolver_keeps_highest_quality(spark):
+    from dedupe_trees_spark.operators.resolve import resolve
+
+    df = spark.createDataFrame(
+        [
+            ("c1", "https://a", 0.9),
+            ("c1", "https://b", 0.5),
+            ("c2", "https://c", 0.7),
+            ("c2", "https://d", 0.7),  # tie -> arbitrary terminal: min url
+        ],
+        ["component_id", "url", "quality"],
+    )
+    out = {
+        r.component_id: r.url
+        for r in resolve(df, ["quality_best", "arbitrary"])
+        .filter("is_canonical")
+        .collect()
+    }
+    assert out == {"c1": "https://a", "c2": "https://c"}
