@@ -407,6 +407,8 @@ def tfidf_keywords(
     id_col: str = "doc_id",
     k: int = 5,
     hot_df: int = 1000,
+    reuse_tf: bool = True,
+    topk: str = "agg",
 ) -> DataFrame:
     """Per-document top-k TF-IDF keywords — the feature-extraction op a
     training pipeline runs for topic tagging / mixture balancing.
@@ -424,11 +426,24 @@ def tfidf_keywords(
 
     Oracle twin: queries.py::SQL_TFIDF_KEYWORDS (single logical join —
     the split is physical only), value-hash equality at round(·, 6).
+
+    The tf relation is consumed THREE times (docfreq + both join legs);
+    without ``reuse_tf`` Spark recomputes the corpus explode +
+    (doc, term) aggregation for each consumer (the fixture-scale
+    physical plan shows 8 parquet scans / 6 Generates; measured A/B in
+    BENCH/BASELINE.md § Text-feature operators). MEMORY_AND_DISK persist of
+    the per-doc term counts (the smallest relation worth keeping)
+    spills gracefully; on a cluster with tight executor storage swap it
+    for a scratch-table write — the plan shape is otherwise identical.
     """
     toks = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if reuse_tf:
+        from pyspark.storagelevel import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.select(
         F.count(F.lit(1)).cast("double").alias("n_docs")
@@ -445,13 +460,35 @@ def tfidf_keywords(
             ),
         )
     )
-    from pyspark.sql.window import Window
+    if topk == "window":
+        from pyspark.sql.window import Window
 
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score").desc(), F.col("term").asc()
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "term", "score")
+        )
+    # topk == "agg": per-doc array sort instead of a global window sort —
+    # the exchange is the same size, but sorting ~terms-per-doc-sized
+    # arrays inside a hash aggregate replaces the partition-wide
+    # (doc, score, term) sort. Equality-oracle-identical by construction
+    # (same total order; -0.0 guarded so the negated sort key can't
+    # split the score-0 ties duckdb sees as equal).
+    neg = F.when(F.col("score") == 0.0, F.lit(0.0)).otherwise(-F.col("score"))
+    arr = scored.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(neg.alias("ns"), F.col("term").alias("term"), F.col("score").alias("score")))
+        ).alias("_arr")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "rank", "term", "score")
+    ex = arr.select(
+        id_col, F.posexplode(F.slice("_arr", 1, k)).alias("_pos", "_s")
+    )
+    return ex.select(
+        id_col,
+        (F.col("_pos") + 1).alias("rank"),
+        F.col("_s.term").alias("term"),
+        F.col("_s.score").alias("score"),
     )

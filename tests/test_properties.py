@@ -181,3 +181,58 @@ def test_top_ngrams_bounds_and_nesting(spark):
     assert all(2 <= r["doc_freq"] <= n_docs for r in t20)
     key = lambda r: (r["gram"], r["doc_freq"])  # noqa: E731
     assert [key(r) for r in t5] == [key(r) for r in t20[: len(t5)]]
+
+
+def test_unigram_logprob_bounds_and_permutation_invariance(spark):
+    """ln p ≤ 0 always (counts ≤ total); identical multiset of texts ⇒
+    identical scores regardless of row order/partitioning."""
+    from dedupe_trees_spark.operators.textstats import unigram_logprob
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    base = {r.doc_id: (r.n_tokens, r.logprob) for r in unigram_logprob(d).collect()}
+    assert all(lp <= 0.0 for _, lp in base.values())
+    perm = {
+        r.doc_id: (r.n_tokens, r.logprob)
+        for r in unigram_logprob(
+            d.repartition(7).sortWithinPartitions(F.desc("doc_id"))
+        ).collect()
+    }
+    assert base == perm
+
+
+def test_tfidf_topk_nesting(spark):
+    """top-2 must be a prefix of top-5 for every doc (same total order)."""
+    from dedupe_trees_spark.operators.textstats import tfidf_keywords
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    k5 = {
+        (r.doc_id, r.rank): r.term for r in tfidf_keywords(d, k=5).collect()
+    }
+    k2 = {
+        (r.doc_id, r.rank): r.term for r in tfidf_keywords(d, k=2).collect()
+    }
+    assert k2 == {key: t for key, t in k5.items() if key[1] <= 2}
+
+
+def test_snapshot_diff_statuses_partition_key_union(spark):
+    """Every key appears exactly once; old-only keys are vanished,
+    new-only added — regardless of content."""
+    from dedupe_trees_spark.operators.crawl import snapshot_diff
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    old = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    out = snapshot_diff(old, new, key_col="doc_id").collect()
+    assert len(out) == len({r.doc_id for r in out})  # one row per key
+    st = {r.doc_id: r.status for r in out}
+    for r in d.select("doc_id").collect():
+        i = r.doc_id
+        in_old, in_new = i % 3 != 0, i % 4 != 0
+        if in_old and in_new:
+            assert st[i] == "unchanged"
+        elif in_old:
+            assert st[i] == "vanished"
+        elif in_new:
+            assert st[i] == "added"
+        else:
+            assert i not in st
