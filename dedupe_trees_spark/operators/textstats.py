@@ -409,6 +409,7 @@ def tfidf_keywords(
     hot_df: int = 1000,
     reuse_tf: bool = True,
     topk: str = "agg",
+    tf_mode: str = "runs",
 ) -> DataFrame:
     """Per-document top-k TF-IDF keywords — the feature-extraction op a
     training pipeline runs for topic tagging / mixture balancing.
@@ -435,11 +436,85 @@ def tfidf_keywords(
     the per-doc term counts (the smallest relation worth keeping)
     spills gracefully; on a cluster with tight executor storage swap it
     for a scratch-table write — the plan shape is otherwise identical.
+
+    ``tf_mode`` picks how that tf relation is built:
+
+    * ``"runs"`` (default) — per-doc sorted-run counting entirely inside
+      whole-stage codegen (``array_sort`` the token array, run-start
+      indexes, one ``transform``), then a flat ``explode`` — the
+      (doc, term, tf) relation is born WITHOUT any exchange, the same
+      sorted-run rule ``repetition_features`` ships for the same reason.
+      This deletes the full-corpus ``groupBy(id, term)`` shuffle (the
+      single biggest exchange in the job: ~80 M rows at 1 M docs) from
+      the plan; only the vocab-sized docfreq partial-agg, the cold-leg
+      join, and the per-doc top-k exchange remain.
+    * ``"group"`` — the classic ``explode → groupBy(id, term).count()``
+      formulation (kept as the A/B twin; bit-identical output).
     """
-    toks = df.select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
-    )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if tf_mode == "runs":
+        ts_c, st_c = "_tk_ts", "_tk_starts"
+        ts, st = F.col(ts_c), F.col(st_c)
+        staged = df.withColumn(
+            ts_c, F.array_sort(F.split(F.col(text_col), " "))
+        ).withColumn(
+            # 0-based indexes where a new equal-run starts in the sorted
+            # token array (i == 0, or toks[i] != toks[i-1]); the arrays
+            # are materialized as columns first — capturing the raw
+            # expression lets Catalyst inline its construction per
+            # element (the 34× blowup documented on repetition_features)
+            st_c,
+            F.filter(
+                F.sequence(F.lit(0), F.size(ts) - 1),
+                lambda i: (i == F.lit(0))
+                | (F.get(ts, i) != F.get(ts, i - 1)),
+            ),
+        )
+        runs = F.transform(
+            st,
+            lambda s, j: F.struct(
+                F.get(ts, s).alias("term"),
+                # run length = next run's start (or array end) - this start;
+                # F.get is 0-based and NULL-safe past the end (ANSI mode)
+                (F.coalesce(F.get(st, j + 1), F.size(ts)) - s)
+                .cast("long")
+                .alias("tf"),
+            ),
+        )
+        tf_map = staged.select(id_col, F.explode(runs).alias("_r")).select(
+            id_col, F.col("_r.term").alias("term"), F.col("_r.tf").alias("tf")
+        )
+        # Per-row runs under-merge when the SAME id appears on several
+        # input rows (a re-crawl dup): group mode sums the rows' term
+        # counts into one document. Repair exactly with the house
+        # skew-split pattern — a skinny partial-agg pass finds the dup
+        # ids (near-empty after the pipeline's re-crawl collapse;
+        # bounded by crawl multiplicity, so broadcastable), the unique
+        # ids keep the zero-exchange map path via a broadcast anti-join,
+        # and only the dup rows pay the explode → groupBy merge. Union
+        # is the same logical relation; the split is physical only.
+        dup_ids = (
+            df.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") > 1)
+            .select(id_col)
+        )
+        tf_dup = (
+            df.join(F.broadcast(dup_ids), id_col, "left_semi")
+            .select(
+                id_col,
+                F.explode(F.split(F.col(text_col), " ")).alias("term"),
+            )
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        tf = tf_map.join(F.broadcast(dup_ids), id_col, "left_anti").unionByName(
+            tf_dup
+        )
+    else:
+        toks = df.select(
+            id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     if reuse_tf:
         from pyspark.storagelevel import StorageLevel
 
