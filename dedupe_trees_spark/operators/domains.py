@@ -23,6 +23,11 @@ Operators:
   survive per domain). The window twin (``domain_cap_window``) exists
   only as the oracle for the equivalence pytest — same adjudication as
   ``operators/paragraphs.py``'s keeper.
+* ``temperature_resample`` — counts^alpha stratum rebalancing (the
+  standard multilingual-LM mixing step): per-stratum keep fractions
+  derived from one |strata|-row agg, applied with the same md5
+  predicate; c_min-anchored so no float normalization sum exists and
+  the kept set is oracle-exact.
 * ``deterministic_sample`` / ``stratified_sample`` — reproducible,
   engine-portable sampling: keep a row iff the first 8 hex chars of
   ``md5(key)`` sort below the fraction's hex threshold. md5 hex is
@@ -167,6 +172,63 @@ def stratified_sample(
         ).otherwise(thr)
     pref = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
     return df.filter(pref < thr)
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based stratum rebalancing (multilingual-LM mixing).
+
+    Downsamples over-represented strata so the kept corpus follows
+    counts^alpha instead of raw counts: each stratum keeps fraction
+    ``f_s = (c_min / c_s)^(1-alpha)`` where ``c_s`` is the stratum's
+    doc count and ``c_min`` the smallest stratum's. alpha=1 keeps
+    everything (natural distribution); alpha=0 keeps ~c_min docs per
+    stratum (uniform); alpha=0.5 is the usual multilingual compromise.
+    This ``c_min``-anchored form needs NO normalizing sum over float
+    weights — the only float ops are one division of exact integer
+    counts and (at alpha=0.5) one IEEE-correctly-rounded sqrt, so the
+    kept row set is bit-reproducible across engines and the DuckDB
+    oracle can assert exact equality. Row selection reuses the
+    md5-prefix predicate (engine-portable, repartition-stable, no RNG
+    state); ``f_s == 1.0`` strata skip the hash test entirely so the
+    rarest stratum is kept whole rather than losing the one-in-2^32
+    ``ffffffff`` edge.
+
+    Scale: the counts agg exchanges |strata| rows after map-side
+    partial aggregation; the per-stratum fraction table (|strata|
+    rows) is broadcast back; the corpus itself is scanned twice and
+    shuffled never.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    cmin = counts.agg(F.min("_cnt").alias("_cmin"))
+    ratio = F.col("_cmin") / F.col("_cnt")
+    if alpha == 0.5:
+        keep_f = F.sqrt(ratio)  # IEEE-exact, unlike pow(x, 0.5)
+    else:
+        keep_f = F.pow(ratio, F.lit(1.0 - alpha))
+    fracs = counts.crossJoin(F.broadcast(cmin)).select(
+        strata_col,
+        keep_f.alias("_keep_f"),
+        F.lower(
+            F.lpad(
+                F.hex(F.floor(keep_f * F.lit(float(_MD5_SPACE))).cast("bigint")),
+                8,
+                "0",
+            )
+        ).alias("_thr"),
+    )
+    pref = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    return (
+        df.join(F.broadcast(fracs), strata_col)
+        .filter((F.col("_keep_f") >= 1.0) | (pref < F.col("_thr")))
+        .drop("_keep_f", "_thr")
+    )
 
 
 def block_urls(

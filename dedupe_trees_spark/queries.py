@@ -2376,3 +2376,66 @@ FROM ranked WHERE rn = 1
 
 QUERIES.update({"quality_canonical_pick": q_quality_canonical_pick})
 ORACLES.update({"quality_canonical_pick": SQL_QUALITY_CANONICAL_PICK})
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: global exclusive prefix sum of token
+    counts in doc_id order, shard = cum_before div target. The engine
+    computes it with the two-phase distributed scan (range partition →
+    per-partition sums → driver prefix over P rows → mapInPandas
+    cumsum) — NO single-partition window anywhere in the plan; the
+    DuckDB oracle and the pack_shards_window pytest twin both use the
+    textbook global window, so equality adjudicates the distributed
+    formulation exactly."""
+    from dedupe_trees_spark.operators.shards import pack_shards
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_shards(d, target_tokens=5000, id_col="doc_id")
+
+
+SQL_PACK_SHARDS = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_before, cum_before // 5000 AS shard_id FROM c
+"""
+
+QUERIES.update({"pack_shards": q_pack_shards})
+ORACLES.update({"pack_shards": SQL_PACK_SHARDS})
+
+
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (counts^alpha) language rebalancing at alpha=0.5:
+    the smallest language is kept whole, larger ones are downsampled
+    by sqrt(c_min/c_l) with the md5-prefix predicate. Every float op
+    is IEEE-correctly-rounded (one int division, one sqrt), so the
+    kept row set matches the DuckDB oracle exactly."""
+    from dedupe_trees_spark.operators.domains import temperature_resample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_resample(d, strata_col="lang", alpha=0.5, key_col="doc_id")
+
+
+SQL_TEMPERATURE_RESAMPLE = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang
+), m AS (SELECT min(cnt) AS cmin FROM c),
+f AS (
+  SELECT lang, sqrt((SELECT cmin FROM m) / cnt) AS keep_f FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN f USING (lang)
+WHERE f.keep_f >= 1.0
+   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(floor(f.keep_f * 4294967296.0) AS BIGINT))
+"""
+
+QUERIES.update({"temperature_resample": q_temperature_resample})
+ORACLES.update({"temperature_resample": SQL_TEMPERATURE_RESAMPLE})

@@ -143,3 +143,52 @@ def test_extract_links_and_outlink_stats(spark):
     assert got[2] == ["https://a.com/z?q=1"] and got[3] == []
     stats = {r["domain"]: (r["n_links"], r["n_docs"]) for r in outlink_stats(df).collect()}
     assert stats == {"a.com": (2, 2), "b.com": (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# temperature_resample
+
+
+def _lang_corpus(spark):
+    rows = []
+    for lang, n in [("en", 600), ("fr", 150), ("de", 60)]:
+        rows += [(len(rows) + i, lang) for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+
+def test_temperature_resample_alpha_half_counts(spark):
+    from dedupe_trees_spark.operators.domains import temperature_resample
+
+    d = _lang_corpus(spark)
+    kept = temperature_resample(d, "lang", 0.5, "doc_id")
+    got = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    # min stratum kept whole (no hash test at keep_f == 1.0)
+    assert got["de"] == 60
+    # expected kept_l = c_l * sqrt(c_min/c_l) = sqrt(c_min * c_l)
+    import math
+
+    for lang, c in [("en", 600), ("fr", 150)]:
+        exp = math.sqrt(60 * c)
+        assert abs(got[lang] - exp) < 4 * math.sqrt(exp) + 5, (lang, got[lang], exp)
+
+
+def test_temperature_resample_alpha_bounds(spark):
+    from dedupe_trees_spark.operators.domains import temperature_resample
+
+    d = _lang_corpus(spark)
+    # alpha=1 -> keep_f = 1 for every stratum: identity
+    assert temperature_resample(d, "lang", 1.0, "doc_id").count() == d.count()
+    with pytest.raises(ValueError):
+        temperature_resample(d, "lang", 1.5, "doc_id")
+
+
+def test_temperature_resample_partition_invariant(spark):
+    from dedupe_trees_spark.operators.domains import temperature_resample
+
+    d = _lang_corpus(spark)
+    a = sorted(r["doc_id"] for r in temperature_resample(d, "lang", 0.5).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_resample(d.repartition(13), "lang", 0.5).collect()
+    )
+    assert a == b and len(a) > 0
