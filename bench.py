@@ -109,6 +109,8 @@ def main() -> int:
         "crawl_snapshot_diff",
         "tfidf_keywords",
         "quality_canonical_pick",
+        "pack_shards",
+        "temperature_resample",
     ]
     qs = Q.QUERIES
     for name in bench_queries:
