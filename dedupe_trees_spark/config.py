@@ -125,6 +125,13 @@ class PipelineConfig:
     quality_filter: bool = False  # keep only gopher_keep pages
     quality_min_words: int = 50  # gopher word-count lower bound
     scrub_pii: bool = False  # mask emails/IPs/SSNs/phones in text
+    # export layout: counts^alpha language rebalancing (1.0 = natural
+    # distribution, i.e. off; operators/domains.py::temperature_resample)
+    # runs after the plain sample; shard assignment (global prefix-sum
+    # over whitespace token counts in url order, operators/shards.py;
+    # 0 = off) runs dead last so every shard reflects the final text.
+    temperature_alpha: float = 1.0
+    shard_tokens: int = 0
 
 
 def from_args(argv: list[str] | None = None) -> PipelineConfig:
@@ -204,6 +211,18 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
         "--sample-frac", type=float, default=1.0, dest="sample_frac",
         help="deterministic md5-threshold sample fraction applied last "
         "in the training-set export",
+    )
+    p.add_argument(
+        "--temperature", type=float, default=1.0, dest="temperature_alpha",
+        help="counts^alpha language rebalancing of the training-set "
+        "export (1.0 = natural distribution = off; 0.5 = the usual "
+        "multilingual compromise; the smallest language is kept whole)",
+    )
+    p.add_argument(
+        "--shard-tokens", type=int, default=0, dest="shard_tokens",
+        help="assign exported pages to training shards of ~this many "
+        "whitespace tokens (global prefix sum in url order; adds "
+        "n_tokens/shard_id columns; 0 = off)",
     )
     p.add_argument(
         "--normalize-urls", action="store_true", dest="normalize_urls",

@@ -14,8 +14,9 @@
     S6 training_set (optional, when any shaping/hygiene flag is set):
                     deduped kept pages → domain blocklist → Gopher
                     quality filter → decontaminate vs an eval parquet
-                    → per-domain cap → deterministic sample → PII
-                    scrub                                  [checkpoint]
+                    → per-domain cap → deterministic sample →
+                    temperature resample → PII scrub → shard
+                    assignment                             [checkpoint]
 
 Node identity: every stage after S1 keys documents by ``nid`` instead
 of the url string (~60–80 bytes for web urls) — bands, candidate pairs,
@@ -473,13 +474,16 @@ class DedupePipeline:
             or bool(c.blocklist_path)
             or c.quality_filter
             or c.scrub_pii
+            or c.temperature_alpha < 1.0
+            or c.shard_tokens > 0
         )
 
     def _build_training_set(self) -> DataFrame:
         """S6: the exported training corpus — deduped kept pages run
         through the domain blocklist, the Gopher quality filter,
         decontamination, the per-domain cap, the deterministic sample,
-        and PII scrubbing, in that order (each optional).
+        temperature (counts^alpha) language rebalancing, PII scrubbing,
+        and training-shard assignment, in that order (each optional).
 
         Ordering rationale: blocklist first (cheapest cut, broadcast
         anti-join), quality rules next (zero-shuffle map), both BEFORE
@@ -536,10 +540,31 @@ class DedupePipeline:
             )
         if cfg.sample_frac < 1.0:
             out = deterministic_sample(out, cfg.sample_frac, key_col="url")
+        if cfg.temperature_alpha < 1.0:
+            from dedupe_trees_spark.operators.domains import temperature_resample
+
+            if "lang" not in out.columns:
+                raise ValueError(
+                    "--temperature needs a lang column on the input pages"
+                )
+            out = temperature_resample(
+                out, strata_col="lang", alpha=cfg.temperature_alpha,
+                key_col="url",
+            )
         if cfg.scrub_pii:
             from dedupe_trees_spark.operators.pii import scrub_pii
 
             out = out.withColumn("text", scrub_pii("text"))
+        if cfg.shard_tokens > 0:
+            # dead last: shard budgets reflect the final (scrubbed)
+            # text. pack_shards works on the slim (url, tokens)
+            # projection; the assignment joins back on the unique url
+            # key (sort-merge — the one corpus-sized join of S6, paid
+            # only when shard layout is requested).
+            from dedupe_trees_spark.operators.shards import pack_shards
+
+            assign = pack_shards(out, cfg.shard_tokens, id_col="url")
+            out = out.join(assign, "url")
         return out
 
     def _audit_ids(self) -> None:

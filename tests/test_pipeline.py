@@ -692,3 +692,50 @@ def test_decontam_hash_mode_cli_and_parity(spark, tmp_path):
         p.run()
         outs[mode] = sorted(r["url"] for r in p.training_set().collect())
     assert outs["gram"] == outs["hash"] and outs["gram"]
+
+
+def test_training_set_temperature_and_shards(spark, tmp_path):
+    """S6 export layout: --temperature rebalances languages (smallest
+    kept whole), --shard-tokens appends a prefix-sum shard assignment
+    that exactly matches the window twin over the same exported rows."""
+    inp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    generate_pages(spark, GenConfig(n_docs=400, seed=11), partitions=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+
+    cfg = PipelineConfig(
+        input_path=inp, ckpt_dir=ckpt, bucket_cap=64,
+        temperature_alpha=0.5, shard_tokens=3000,
+    )
+    pipe = DedupePipeline(spark, cfg)
+    pipe.run()
+    out = pipe.training_set()
+    assert {"n_tokens", "cum_before", "shard_id"} <= set(out.columns)
+
+    kept = pipe.deduped_pages()
+    base = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    cmin_lang = min(base, key=lambda k: base[k])
+    assert got[cmin_lang] == base[cmin_lang]  # smallest language whole
+    assert sum(got.values()) < sum(base.values())  # others downsampled
+
+    # shard assignment == the single-partition window twin over the
+    # same exported rows (tokens computed on final text, url order)
+    from dedupe_trees_spark.operators.shards import pack_shards_window
+
+    twin = pack_shards_window(
+        out.select("url", "text"), 3000, id_col="url"
+    )
+    mine = out.select("url", "n_tokens", "cum_before", "shard_id")
+    assert mine.exceptAll(twin).count() == 0
+    assert twin.exceptAll(mine).count() == 0
+
+    # CLI parse reaches the same config
+    from dedupe_trees_spark.config import from_args
+
+    c2 = from_args(
+        ["--input", inp, "--ckpt", ckpt, "--temperature", "0.5",
+         "--shard-tokens", "3000"]
+    )
+    assert c2.temperature_alpha == 0.5 and c2.shard_tokens == 3000
