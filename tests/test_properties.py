@@ -236,3 +236,68 @@ def test_snapshot_diff_statuses_partition_key_union(spark):
             assert st[i] == "added"
         else:
             assert i not in st
+
+
+def test_pack_shards_equals_python_prefix_sum_on_random_corpora(spark):
+    """Randomized (seeded) adversarial shapes for the distributed
+    prefix sum: ragged token counts including docs BIGGER than the
+    shard target (legal shard-id gaps), targets near the doc-size
+    boundary, random partition counts — assignment must equal a pure
+    driver-side prefix sum exactly."""
+    import random
+
+    from dedupe_trees_spark.operators.shards import pack_shards
+
+    rng = random.Random(4242)
+    for round_i in range(3):
+        n = rng.randint(30, 200)
+        target = rng.choice([7, 100, 1000])
+        rows = [
+            (f"u{i:06d}", rng.choice([1, 2, 50, rng.randint(1, 3 * target)]))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "ntok"]).repartition(7)
+        got = {
+            r["doc_id"]: (r["cum_before"], r["shard_id"])
+            for r in pack_shards(
+                df, target, id_col="doc_id", token_col="ntok",
+                num_parts=rng.choice([1, 3, 11]),
+            ).collect()
+        }
+        cum, want = 0, {}
+        for did, tok in sorted(rows):
+            want[did] = (cum, cum // target)
+            cum += tok
+        assert got == want, (round_i, target)
+
+
+def test_temperature_resample_equals_python_predicate(spark):
+    """Kept set must equal a driver-side replication of the md5
+    predicate (counts -> sqrt fractions -> hex thresholds) exactly."""
+    import hashlib
+    import math
+    import random
+
+    from dedupe_trees_spark.operators.domains import temperature_resample
+
+    rng = random.Random(777)
+    rows = []
+    for s, size in (("a", 137), ("b", 23), ("c", 61)):
+        rows += [(rng.randint(0, 10**9) * 10 + i, s) for i in range(size)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = sorted(r["doc_id"] for r in temperature_resample(df, "lang", 0.5).collect())
+
+    counts = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    cmin = min(counts.values())
+    want = []
+    for did, s in rows:
+        f = math.sqrt(cmin / counts[s])
+        if f >= 1.0:
+            want.append(did)
+            continue
+        thr = format(int(math.floor(f * 4294967296.0)), "08x")
+        if hashlib.md5(str(did).encode()).hexdigest()[:8] < thr:
+            want.append(did)
+    assert got == sorted(want)
