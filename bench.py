@@ -111,6 +111,7 @@ def main() -> int:
         "quality_canonical_pick",
         "pack_shards",
         "temperature_resample",
+        "hashed_term_features",
     ]
     qs = Q.QUERIES
     for name in bench_queries:

@@ -567,3 +567,43 @@ def tfidf_keywords(
         F.col("_s.term").alias("term"),
         F.col("_s.score").alias("score"),
     )
+
+
+def hashing_features(
+    df: DataFrame,
+    dim: int = 1 << 18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing vectorizer (hashingTF): per-doc sparse term
+    counts bucketed into a fixed ``dim``-dimensional space — the
+    standard featurization for fastText-style quality/domain
+    classifiers over web text. Output is the exploded sparse form
+    (id, bucket, cnt); assemble maps/vectors downstream if a model
+    API needs them.
+
+    Bucket = first 8 md5 hex chars of the raw token, mod ``dim`` —
+    chosen over xxhash64 for engine portability (DuckDB lacks
+    xxhash64; md5 is byte-identical everywhere), so the contract
+    oracle asserts exact equality on (id, bucket, cnt).
+
+    Scale: tokenize/hash is pure codegen (zero Python); the ONLY
+    exchange is the (id, bucket) groupBy, map-side-combined to at most
+    min(tokens_per_doc, dim) rows per doc — the composite key is
+    uniform (doc ids unique, buckets hashed) so no skew handling is
+    needed, unlike term-keyed aggregations (cf. tfidf_keywords'
+    skew-split join).
+    """
+    tok = F.explode(
+        F.filter(F.split(F.col(text_col), " "), lambda s: s != "")
+    ).alias("token")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        % F.lit(dim)
+    ).cast("int")
+    return (
+        df.select(id_col, tok)
+        .select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

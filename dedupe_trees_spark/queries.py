@@ -2439,3 +2439,31 @@ WHERE f.keep_f >= 1.0
 
 QUERIES.update({"temperature_resample": q_temperature_resample})
 ORACLES.update({"temperature_resample": SQL_TEMPERATURE_RESAMPLE})
+
+
+def q_hashed_term_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (hashingTF shape): per-doc sparse
+    term counts in a 512-bucket space via md5-prefix buckets —
+    portable across engines, so the oracle asserts exact (id, bucket,
+    cnt) equality. One map-side-combined exchange on the uniform
+    (doc, bucket) key."""
+    from dedupe_trees_spark.operators.textstats import hashing_features
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashing_features(d, dim=512, id_col="doc_id")
+
+
+SQL_HASHED_TERM_FEATURES = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 512 AS INT) AS bucket,
+       count(*) AS cnt
+FROM tok
+WHERE token != ''
+GROUP BY doc_id, bucket
+"""
+
+QUERIES.update({"hashed_term_features": q_hashed_term_features})
+ORACLES.update({"hashed_term_features": SQL_HASHED_TERM_FEATURES})

@@ -88,3 +88,45 @@ def test_gopher_rules_empty_and_single_word(spark):
     assert out[1]["n_words"] == 0 and out[1]["mean_word_len"] == 0.0
     assert out[2]["n_words"] == 1 and out[2]["mean_word_len"] == 4.0
     assert not out[1]["gopher_keep"] and not out[2]["gopher_keep"]
+
+
+def test_hashing_features_hand_example(spark):
+    from dedupe_trees_spark.operators.textstats import hashing_features
+    import hashlib
+
+    d = spark.createDataFrame(
+        [(1, "a b a  c"), (2, "b"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["bucket"]): r["cnt"]
+        for r in hashing_features(d, dim=64, id_col="doc_id").collect()
+    }
+    def b(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    # doc 1: a x2 (one bucket), b, c; empty token from the double space
+    # is dropped; doc 3 contributes nothing
+    want = {(1, b("a")): 2, (1, b("b")): 1, (1, b("c")): 1, (2, b("b")): 1}
+    assert got == want
+
+
+def test_hashing_features_collisions_sum(spark):
+    """Two distinct tokens landing in the same bucket (dim=1 forces
+    it) must sum their counts, the defining hashing-trick behavior."""
+    from dedupe_trees_spark.operators.textstats import hashing_features
+
+    d = spark.createDataFrame([(7, "x y z x")], ["doc_id", "text"])
+    rows = hashing_features(d, dim=1, id_col="doc_id").collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["cnt"] == 4
+
+
+def test_hashing_features_plan_single_partial_agged_exchange(spark):
+    from dedupe_trees_spark.operators.textstats import hashing_features
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        hashing_features(d, dim=512)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
