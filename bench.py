@@ -112,6 +112,7 @@ def main() -> int:
         "pack_shards",
         "temperature_resample",
         "hashed_term_features",
+        "span_scrubbed_docs",
     ]
     qs = Q.QUERIES
     for name in bench_queries:

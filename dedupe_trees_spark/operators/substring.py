@@ -338,6 +338,207 @@ def containment_decisions(
     )
 
 
+# ---------------------------------------------------------------------------
+# Cross-document shared-span REMOVAL (span-level training-data dedup):
+# instead of dropping whole contained documents, cut every verbatim run of
+# >= min_run chars that a document shares with a smaller-id candidate
+# partner out of the larger-id document, keeping the smaller-id document
+# intact. The whole-doc variants (containment_decisions, the pipeline's
+# substr generator) stay the dedup path; this is the surgical variant for
+# corpora where long quoted/boilerplate spans should go but the documents
+# around them should survive.
+
+
+def _victim_cover(a_cp: np.ndarray, b_cp: np.ndarray, min_run: int) -> np.ndarray:
+    """Merged ``[start, end)`` code-point intervals over ``b_cp`` covering
+    every occurrence in b of a substring of length >= min_run that also
+    occurs somewhere in a.
+
+    Kernel: generalized suffix array over ``a # b`` (unique sentinels);
+    adjacent-entry LCPs batched via the doubling levels; for each
+    b-suffix, its max LCP against ANY a-suffix is the larger of two
+    restarted running minima over the adjacent LCPs (SA-LCP theorem:
+    lcp(sa[i], sa[j]) = min of adjacent lcps across the gap, so the
+    nearest a-entry above/below attains the max). Every victim position
+    p with cross-LCP r >= min_run contributes [p, p+r); the union over p
+    is EXACTLY the union of all shared >= min_run run occurrences — a
+    run occurrence at [s, s+len) implies r_s >= len, and any [p, p+r_p)
+    is itself a shared-run occurrence — which is what the stride-1-gram
+    diagonal-chain SQL oracle computes relationally.
+    """
+    la, lb = len(a_cp), len(b_cp)
+    if la == 0 or lb == 0 or lb < min_run or la < min_run:
+        return np.empty((0, 2), dtype=np.int64)
+    s = np.concatenate(
+        [
+            a_cp.astype(np.int64) + 2,
+            np.array([0], dtype=np.int64),
+            b_cp.astype(np.int64) + 2,
+            np.array([1], dtype=np.int64),
+        ]
+    )
+    n = len(s)
+    sa, levels = _sa_levels(s)
+    adj = _lcp_batch(levels, sa[:-1], sa[1:], n)
+    is_a = sa < la
+    is_b = (sa > la) & (sa < n - 1)
+    big = np.int64(n + 1)
+
+    def _nearest_a_lcp(m: np.ndarray, a_mask: np.ndarray) -> np.ndarray:
+        # m[t] = lcp(entry t-1, entry t). For each t: min(m[t0+1..t])
+        # where t0 = nearest a-entry at or above — i.e. a cummin that
+        # RESTARTS just after each a-entry (the a-entry's own incoming
+        # lcp is not part of the gap, hence the +inf overwrite).
+        seg = np.cumsum(a_mask)
+        mm = m.copy()
+        mm[a_mask] = big
+        r = pd.Series(mm).groupby(seg).cummin().to_numpy()
+        r[seg == 0] = 0  # no a-entry above
+        return r
+
+    m_fwd = np.concatenate([np.zeros(1, dtype=np.int64), adj])
+    r_up = _nearest_a_lcp(m_fwd, is_a)
+    m_bwd = np.concatenate([np.zeros(1, dtype=np.int64), adj[::-1]])
+    r_dn = _nearest_a_lcp(m_bwd, is_a[::-1])[::-1]
+    r = np.maximum(r_up, r_dn)
+
+    pos = sa[is_b] - (la + 1)
+    rr = r[is_b]
+    keep = rr >= min_run
+    if not keep.any():
+        return np.empty((0, 2), dtype=np.int64)
+    return _merge_intervals(pos[keep], pos[keep] + rr[keep])
+
+
+def _merge_intervals(s: np.ndarray, e: np.ndarray) -> np.ndarray:
+    """Union of [s, e) intervals (overlapping OR adjacent merge) as an
+    (m, 2) array sorted by start — vectorized gaps-and-islands."""
+    order = np.argsort(s, kind="stable")
+    s, e = s[order], e[order]
+    emax = np.maximum.accumulate(e)
+    new = np.concatenate([[True], s[1:] > emax[:-1]])
+    starts = s[new]
+    ends = np.maximum.reduceat(e, np.flatnonzero(new))
+    return np.stack([starts, ends], axis=1)
+
+
+def victim_spans_udf(min_run: int):
+    """(keeper_text, victim_text) → flattened [s0,e0,s1,e1,...] merged
+    code-point intervals of victim chars covered by >= min_run shared
+    runs (empty when nothing qualifies). Arrow-batched; per pair the
+    work is the NumPy GSA kernel above."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _spans(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(ta, tb):
+            if not a or not b:
+                out.append([])
+                continue
+            ac = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+            bc = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+            out.append(_victim_cover(ac, bc, min_run).reshape(-1).tolist())
+        return pd.Series(out)
+
+    return _spans
+
+
+def scrub_spans_udf():
+    """(text, flattened intervals from ALL of the doc's pairs) →
+    (clean_text, removed_chars, n_spans): re-merge the union across
+    partners, then splice on Python-str (code-point) offsets — the same
+    unit as SQL substr/length, so the DuckDB twin splices identically."""
+    ret = T.StructType(
+        [
+            T.StructField("clean_text", T.StringType()),
+            T.StructField("removed_chars", T.LongType()),
+            T.StructField("n_spans", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(ret)
+    def _scrub(texts: pd.Series, flat: pd.Series) -> pd.DataFrame:
+        ct, rc, ns = [], [], []
+        for t, fl in zip(texts, flat):
+            arr = np.asarray(fl, dtype=np.int64).reshape(-1, 2)
+            iv = _merge_intervals(arr[:, 0], arr[:, 1])
+            pieces, prev = [], 0
+            for st, en in iv.tolist():
+                pieces.append(t[prev:st])
+                prev = en
+            pieces.append(t[prev:])
+            ct.append("".join(pieces))
+            rc.append(int((iv[:, 1] - iv[:, 0]).sum()))
+            ns.append(int(len(iv)))
+        return pd.DataFrame({"clean_text": ct, "removed_chars": rc, "n_spans": ns})
+
+    return _scrub
+
+
+def span_scrub(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    min_run: int = 64,
+    k: int = 24,
+    cap: int = 256,
+) -> DataFrame:
+    """Cross-document exact-substring span removal. For every candidate
+    pair (a, b) with a < b sharing a verbatim run >= min_run chars, cut
+    ALL such shared-run occurrences out of b (the victim); a keeps its
+    text. A doc victim to several partners removes the UNION of their
+    spans; all pair computations read ORIGINAL texts, so the result is
+    order-independent and deterministic.
+
+    Returns one row per MODIFIED doc: (id_col, clean_text,
+    removed_chars, n_spans). Untouched docs are absent (join back on
+    id for a full-corpus view).
+
+    Plan shape: the extent operator's candidate machinery (winnowed
+    fingerprints, capped buckets — texts ship once per candidate pair,
+    never per bucket), then two candidate-proportional exchanges: the
+    per-victim groupBy and the victim-text join-back. Nothing here is
+    corpus-sized. Hot-bucket star capping bounds pair volume like the
+    rest of the substring family; at web scale a doc sharing boilerplate
+    with millions of partners gets its spans from the star
+    representatives (the union converges after a handful of partners —
+    the spans are the same boilerplate).
+    """
+    w = min_run - k + 1
+    fps = df.select(
+        F.col(id_col), winnow_text_udf(k, w)(F.col(text_col)).alias("_fp")
+    )
+    cands = _pairs_from_gram_sets(fps, F.col("_fp"), id_col, cap)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    joined = (
+        cands.select("url_a", "url_b")
+        .join(
+            texts.select(F.col(id_col).alias("url_a"), F.col(text_col).alias("_ta")),
+            "url_a",
+        )
+        .join(
+            texts.select(F.col(id_col).alias("url_b"), F.col(text_col).alias("_tb")),
+            "url_b",
+        )
+    )
+    iv = joined.select(
+        F.col("url_b").alias("_vid"),
+        victim_spans_udf(min_run)(F.col("_ta"), F.col("_tb")).alias("_iv"),
+    ).filter(F.size("_iv") > 0)
+    per_doc = iv.groupBy("_vid").agg(F.flatten(F.collect_list("_iv")).alias("_ivs"))
+    out = per_doc.join(
+        texts.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_t")),
+        "_vid",
+    )
+    res = out.select(
+        F.col("_vid").alias(id_col),
+        scrub_spans_udf()(F.col("_t"), F.col("_ivs")).alias("_r"),
+    )
+    return res.select(
+        id_col, "_r.clean_text", "_r.removed_chars", "_r.n_spans"
+    )
+
+
 def substring_pairs_winnow(
     df: DataFrame,
     id_col: str = "url",

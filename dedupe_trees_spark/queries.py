@@ -2467,3 +2467,96 @@ GROUP BY doc_id, bucket
 
 QUERIES.update({"hashed_term_features": q_hashed_term_features})
 ORACLES.update({"hashed_term_features": SQL_HASHED_TERM_FEATURES})
+
+
+def q_span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring SPAN removal (span-level
+    training-data dedup — the surgical variant of the substring family:
+    cut every verbatim run ≥ 64 chars shared with a smaller-id partner
+    out of the larger-id doc, keeping the partner intact; a doc victim
+    to several partners removes the UNION of their spans; all pairs
+    read ORIGINAL texts so the result is order-independent).
+
+    Engine: the extent operator's winnow candidates → per-pair
+    generalized-suffix-array per-suffix cross-doc max-LCP (restarted
+    cummin over adjacent LCPs — operators/substring.py::_victim_cover)
+    → interval union per victim → splice. Oracle: stride-1 64-gram
+    position join → per-partner diagonal chains → gaps-and-islands
+    interval merge → ordered string_agg splice. Both sides compute the
+    identical union of shared-run occurrences (a run occurrence at
+    [s, s+len) implies a per-position cover interval and vice versa),
+    so clean_text matches value-exactly."""
+    from dedupe_trees_spark.operators.substring import span_scrub
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = span_scrub(d, id_col="doc_id", min_run=64, k=24, cap=4096)
+    return out.select("doc_id", "clean_text", "removed_chars", "n_spans")
+
+
+SQL_SPAN_SCRUBBED_DOCS = """
+WITH g AS (
+  SELECT doc_id, i, substr(text, i, 64) AS gram
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 63)) AS i
+        FROM documents WHERE length(text) >= 64)
+),
+m AS (
+  SELECT a.doc_id AS keeper, b.doc_id AS victim, a.i AS ia, b.i AS ib
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT keeper, victim, ib, ia - ib AS diag,
+         ib - row_number() OVER (PARTITION BY keeper, victim, ia - ib
+                                 ORDER BY ib) AS grp
+  FROM m
+),
+chains AS (
+  SELECT victim, min(ib) AS s, min(ib) + count(*) + 63 AS e
+  FROM runs GROUP BY keeper, victim, diag, grp
+),
+ord AS (
+  SELECT victim, s, e,
+         max(e) OVER (PARTITION BY victim ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM chains
+),
+grp2 AS (
+  SELECT victim, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY victim ORDER BY s, e) AS gid
+  FROM ord
+),
+merged AS (
+  SELECT victim AS doc_id, gid, min(s) AS s, max(e) AS e
+  FROM grp2 GROUP BY victim, gid
+),
+bounds AS (
+  SELECT doc_id, s, e,
+         lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS ks
+  FROM merged
+),
+segs AS (
+  SELECT doc_id, ks, s AS ke FROM bounds
+  UNION ALL
+  SELECT doc_id, max(e) AS ks, NULL AS ke FROM merged GROUP BY doc_id
+),
+spliced AS (
+  SELECT seg.doc_id,
+         string_agg(substr(d.text, CAST(seg.ks AS INT),
+                           CAST(COALESCE(seg.ke, length(d.text) + 1) - seg.ks AS INT)),
+                    '' ORDER BY seg.ks) AS clean_text
+  FROM segs seg JOIN documents d ON seg.doc_id = d.doc_id
+  GROUP BY seg.doc_id
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS removed_chars
+  FROM merged GROUP BY doc_id
+)
+SELECT p.doc_id, COALESCE(p.clean_text, '') AS clean_text,
+       st.removed_chars, st.n_spans
+FROM spliced p JOIN stats st USING (doc_id)
+"""
+
+QUERIES.update({"span_scrubbed_docs": q_span_scrubbed_docs})
+ORACLES.update({"span_scrubbed_docs": SQL_SPAN_SCRUBBED_DOCS})

@@ -6,6 +6,7 @@ import pandas as pd
 from dedupe_trees_spark.datagen import GenConfig, generate_pages
 from dedupe_trees_spark.operators.substring import (
     _winnow_batch,
+    span_scrub,
     substring_pairs_exact,
     substring_pairs_winnow,
 )
@@ -197,3 +198,93 @@ def test_containment_decisions_exact_tie_keeps_smaller_id(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["doc_kept"] == 5 and out[0]["doc_removed"] == 7
+
+
+# ---------------------------------------------------------------------------
+# span_scrub: cross-document shared-span removal
+
+
+def _uniq(tag: str, n: int) -> str:
+    """Deterministic filler with no 64-char self/cross repeats."""
+    return " ".join(f"{tag}{i:04d}" for i in range(n))
+
+
+def test_span_scrub_hand_example(spark):
+    shared = "Z" + "shared boilerplate span body " * 4  # ~117 chars
+    a = _uniq("alpha", 30) + shared + _uniq("omega", 30)
+    b = _uniq("left", 25) + shared + _uniq("right", 25)
+    d = spark.createDataFrame([("u1", a), ("u2", b)], ["url", "text"])
+    out = {r["url"]: r for r in span_scrub(d, min_run=64, k=24).collect()}
+    # only the larger id is modified, and the span is excised exactly
+    assert set(out) == {"u2"}
+    r = out["u2"]
+    assert r["n_spans"] == 1
+    assert r["removed_chars"] >= len(shared)
+    assert "shared boilerplate" not in r["clean_text"]
+    assert r["clean_text"].startswith("left0000")
+    assert r["clean_text"].endswith("right0024")
+    assert len(r["clean_text"]) == len(b) - r["removed_chars"]
+
+
+def test_span_scrub_union_across_partners_merges(spark):
+    s1 = "Q" + "first shared region payload " * 4   # ~113 chars
+    s2 = "R" + "second shared region payload " * 4  # ~117 chars
+    a1 = _uniq("pa", 30) + s1 + _uniq("pb", 30)
+    a2 = _uniq("pc", 30) + s2 + _uniq("pd", 30)
+    # victim carries s1 and s2 ADJACENT: the two partners' intervals
+    # must union into one merged span
+    b = _uniq("vx", 25) + s1 + s2 + _uniq("vy", 25)
+    d = spark.createDataFrame(
+        [("u1", a1), ("u2", a2), ("u9", b)], ["url", "text"]
+    )
+    out = {r["url"]: r for r in span_scrub(d, min_run=64, k=24).collect()}
+    assert set(out) == {"u9"}
+    r = out["u9"]
+    assert r["n_spans"] == 1
+    assert r["removed_chars"] >= len(s1) + len(s2)
+    assert "shared region" not in r["clean_text"]
+
+
+def test_span_scrub_min_run_boundary(spark):
+    # distinct delimiters around the run so the true shared run is
+    # EXACTLY the B-block (filler tags would otherwise extend it)
+    shared63 = "B" * 63
+    a = _uniq("ka", 30) + "<" + shared63 + ">" + _uniq("kb", 30)
+    b = _uniq("kc", 30) + "[" + shared63 + "]" + _uniq("kd", 30)
+    d = spark.createDataFrame([("u1", a), ("u2", b)], ["url", "text"])
+    assert span_scrub(d, min_run=64, k=24).count() == 0
+    shared64 = "B" * 64
+    d2 = spark.createDataFrame(
+        [("u1", a.replace(shared63, shared64)), ("u2", b.replace(shared63, shared64))],
+        ["url", "text"],
+    )
+    rows = span_scrub(d2, min_run=64, k=24).collect()
+    assert len(rows) == 1 and rows[0]["url"] == "u2"
+    assert rows[0]["removed_chars"] == 64
+
+
+def test_span_scrub_chain_uses_original_texts(spark):
+    """u2 is victim vs u1 AND keeper vs u3: u3's spans come from u2's
+    ORIGINAL text (order-independent semantics)."""
+    s12 = "M" + "one two chain span content " * 4  # shared by u1,u2
+    a = _uniq("ca", 30) + s12 + _uniq("cb", 30)
+    b = _uniq("cc", 30) + s12 + _uniq("cd", 30)
+    c = _uniq("ce", 30) + s12 + _uniq("cf", 30)  # shares s12 with both
+    d = spark.createDataFrame([("u1", a), ("u2", b), ("u3", c)], ["url", "text"])
+    out = {r["url"]: r for r in span_scrub(d, min_run=64, k=24).collect()}
+    # u2 scrubbed (victim of u1); u3 scrubbed too — even though u2 loses
+    # the span, u3's pairs read u2's original text (and u1 still has it)
+    assert set(out) == {"u2", "u3"}
+    for r in out.values():
+        assert "chain span" not in r["clean_text"]
+
+
+def test_span_scrub_whole_doc_covered(spark):
+    shared = "W" + "entire doc is one big shared span " * 6
+    a = _uniq("wa", 30) + shared + _uniq("wb", 30)
+    d = spark.createDataFrame([("u1", a), ("u2", shared)], ["url", "text"])
+    rows = span_scrub(d, min_run=64, k=24).collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "u2"
+    assert rows[0]["clean_text"] == ""
+    assert rows[0]["removed_chars"] == len(shared)
