@@ -379,31 +379,31 @@ def _victim_cover(a_cp: np.ndarray, b_cp: np.ndarray, min_run: int) -> np.ndarra
     )
     n = len(s)
     sa, levels = _sa_levels(s)
-    adj = _lcp_batch(levels, sa[:-1], sa[1:], n)
     is_a = sa < la
     is_b = (sa > la) & (sa < n - 1)
-    big = np.int64(n + 1)
 
-    def _nearest_a_lcp(m: np.ndarray, a_mask: np.ndarray) -> np.ndarray:
-        # m[t] = lcp(entry t-1, entry t). For each t: min(m[t0+1..t])
-        # where t0 = nearest a-entry at or above — i.e. a cummin that
-        # RESTARTS just after each a-entry (the a-entry's own incoming
-        # lcp is not part of the gap, hence the +inf overwrite).
-        seg = np.cumsum(a_mask)
-        mm = m.copy()
-        mm[a_mask] = big
-        r = pd.Series(mm).groupby(seg).cummin().to_numpy()
-        r[seg == 0] = 0  # no a-entry above
-        return r
+    # For each b-entry t, the max cross-LCP is attained at the NEAREST
+    # a-entry above or below in SA order (SA-LCP theorem), so two
+    # direct batched LCP computations replace any scan: prev_a[t] /
+    # next_a[t] via running max/min over a-entry indices.
+    idx = np.arange(n, dtype=np.int64)
+    prev_a = np.maximum.accumulate(np.where(is_a, idx, -1))
+    next_a = np.minimum.accumulate(np.where(is_a, idx, n)[::-1])[::-1]
 
-    m_fwd = np.concatenate([np.zeros(1, dtype=np.int64), adj])
-    r_up = _nearest_a_lcp(m_fwd, is_a)
-    m_bwd = np.concatenate([np.zeros(1, dtype=np.int64), adj[::-1]])
-    r_dn = _nearest_a_lcp(m_bwd, is_a[::-1])[::-1]
-    r = np.maximum(r_up, r_dn)
+    t_b = idx[is_b]
+    rr = np.zeros(len(t_b), dtype=np.int64)
+    up = prev_a[t_b]
+    m_up = up >= 0
+    if m_up.any():
+        rr[m_up] = _lcp_batch(levels, sa[up[m_up]], sa[t_b[m_up]], n)
+    dn = next_a[t_b]
+    m_dn = dn < n
+    if m_dn.any():
+        rr[m_dn] = np.maximum(
+            rr[m_dn], _lcp_batch(levels, sa[dn[m_dn]], sa[t_b[m_dn]], n)
+        )
 
     pos = sa[is_b] - (la + 1)
-    rr = r[is_b]
     keep = rr >= min_run
     if not keep.any():
         return np.empty((0, 2), dtype=np.int64)
