@@ -45,11 +45,16 @@ def read_pages_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_pages_any(spark: SparkSession, path: str) -> DataFrame:
-    """Dispatch on extension/prefix: iceberg:, .jsonl/.json, .csv, parquet."""
+    """Dispatch on extension/prefix: iceberg:, .jsonl/.json, .csv,
+    .warc/.warc.gz, parquet."""
     from dedupe_trees_spark.io import read_pages
 
     if path.endswith((".jsonl", ".json")):
         return read_pages_jsonl(spark, path)
     if path.endswith(".csv"):
         return read_pages_csv(spark, path)
+    if path.endswith((".warc", ".warc.gz")):
+        from dedupe_trees_spark.sources.warc import read_pages_warc
+
+        return read_pages_warc(spark, path)
     return read_pages(spark, path)

@@ -37,3 +37,103 @@ def test_read_pages_csv(spark, tmp_path):
     assert out[0]["text"] == "hello world"
     assert out[0]["html"] is None
     assert out[0]["source_order"] == 0
+
+
+def _warc_fixture_records():
+    from datetime import datetime, timezone
+
+    ts = datetime(2024, 3, 5, 12, 30, 0, tzinfo=timezone.utc)
+    html_a = b"<html><body>alpha <b>page</b> &amp; more</body></html>"
+    html_b = b"<html><script>x()</script><p>beta page</p></html>"
+    return [
+        # warcinfo record must be skipped
+        {"url": "ignored", "warc_type": "warcinfo", "html": b"software: test"},
+        {"url": "https://a.example/alpha", "warc_ts": ts, "html": html_a},
+        # request record for the same URI must be skipped
+        {"url": "https://b.example/beta", "warc_type": "request", "html": b"GET /"},
+        # HTTP-wrapped response (the Common-Crawl layout)
+        {
+            "url": "https://b.example/beta",
+            "warc_ts": ts,
+            "html": html_b,
+            "http_wrap": True,
+        },
+    ]
+
+
+def test_read_pages_warc_roundtrip(spark, tmp_path):
+    from dedupe_trees_spark.sources.warc import read_pages_warc, write_warc
+
+    p = tmp_path / "crawl-00000.warc"
+    write_warc(_warc_fixture_records(), str(p))
+    out = {r["url"]: r for r in read_pages_warc(spark, str(p)).collect()}
+
+    # only the two response records survive; payload bytes exact
+    assert set(out) == {"https://a.example/alpha", "https://b.example/beta"}
+    a, b = out["https://a.example/alpha"], out["https://b.example/beta"]
+    assert a["html"] == b"<html><body>alpha <b>page</b> &amp; more</body></html>"
+    # HTTP wrapper stripped: payload only
+    assert b["html"] == b"<html><script>x()</script><p>beta page</p></html>"
+    # shared codegen extraction: same rules as the parquet path
+    assert a["text"] == "alpha page & more"
+    assert b["text"] == "beta page"
+    assert a["warc_ts"] == datetime.datetime(2024, 3, 5, 12, 30)
+    assert a["source"] == "crawl-00000.warc"
+    # source_order = record index within the file (responses only)
+    assert (a["source_order"], b["source_order"]) == (0, 1)
+
+
+def test_read_pages_warc_gzip_members(spark, tmp_path):
+    """Member-per-record gzip (Common Crawl's layout) and whole-file gzip
+    both decompress through gzip.decompress's multi-member walk."""
+    import gzip as _gz
+
+    from dedupe_trees_spark.sources.warc import read_pages_warc, warc_bytes
+
+    recs = _warc_fixture_records()
+    per_member = b"".join(_gz.compress(warc_bytes([r]), mtime=0) for r in recs)
+    p = tmp_path / "crawl-00001.warc.gz"
+    p.write_bytes(per_member)
+    out = read_pages_warc(spark, str(p)).collect()
+    assert sorted(r["url"] for r in out) == [
+        "https://a.example/alpha",
+        "https://b.example/beta",
+    ]
+    assert all(r["text"] for r in out)
+
+
+def test_read_pages_warc_schema_and_dispatch(spark, tmp_path):
+    from dedupe_trees_spark.sources import PAGES_SCHEMA, read_pages_any
+    from dedupe_trees_spark.sources.warc import write_warc
+
+    p = tmp_path / "crawl-00002.warc"
+    write_warc(_warc_fixture_records(), str(p))
+    df = read_pages_any(spark, str(p))
+    assert [f.name for f in df.schema.fields] == [f.name for f in PAGES_SCHEMA]
+    assert df.count() == 2
+
+
+def test_warc_pages_run_the_pipeline(spark, tmp_path):
+    """WARC-sourced pages flow through S1 signatures unchanged — the
+    ingest edge produces real pipeline input, not a lookalike."""
+    from datetime import datetime, timezone
+
+    from dedupe_trees_spark.sources.warc import read_pages_warc, write_warc
+
+    ts = datetime(2024, 3, 5, tzinfo=timezone.utc)
+    body = b"<p>" + b"shared prose for the dedup pipeline " * 8 + b"</p>"
+    recs = [
+        {"url": f"https://site{i}.example/dup", "warc_ts": ts, "html": body}
+        for i in range(3)
+    ]
+    p = tmp_path / "crawl-00003.warc"
+    write_warc(recs, str(p))
+
+    from dedupe_trees_spark.config import PipelineConfig
+    from dedupe_trees_spark.plans.pipeline import DedupePipeline
+
+    cfg = PipelineConfig(input_path=str(p), ckpt_dir=str(tmp_path / "ckpt"))
+    pipe = DedupePipeline(spark, cfg)
+    pipe.run()
+    # three byte-identical pages collapse to one survivor
+    assert pipe.canonical().filter("is_canonical").count() == 1
