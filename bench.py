@@ -94,6 +94,7 @@ def main() -> int:
         "paragraph_dedup_text",
         "repetition_scores",
         "benchmark_contamination",
+        "fuzzy_contamination",
         "domain_capped_sample",
         "stratified_sample_stats",
         "html_text_extraction",
@@ -113,6 +114,7 @@ def main() -> int:
         "temperature_resample",
         "hashed_term_features",
         "span_scrubbed_docs",
+        "warc_roundtrip",
     ]
     qs = Q.QUERIES
     for name in bench_queries:

@@ -193,3 +193,163 @@ def top_ngrams(
         .orderBy(F.desc("doc_freq"), F.asc("gram"))
         .limit(k)
     )
+
+# --------------------------------------------------------------------------
+# Fuzzy (MinHash-LSH) decontamination — the near-duplicate complement of
+# the exact n-gram rule above. Production pipelines run BOTH: exact
+# 13-gram overlap catches verbatim quotes, while a lightly paraphrased /
+# truncated / re-templated benchmark document shares no 13-gram yet still
+# leaks the answer — that variant is a NEAR-duplicate of an eval doc, the
+# same relation the dedup pipeline's MinHash family detects. Semantics:
+# a corpus document is fuzzy-contaminated iff its exact shingle-Jaccard
+# against ANY eval document is >= tau.
+#
+# Scale shape (100 TB corpus vs a small benchmark side), mirroring the
+# exact rule's zero-corpus-shuffle discipline:
+#   * eval side: shingle sets -> minhash -> band hashes, all broadcast
+#     (an eval suite is 10^4..10^6 docs; bands table ~= docs x bands
+#     rows of 16 bytes);
+#   * corpus side: ONE map pass computes signatures; the band probe is
+#     a BROADCAST join (corpus never shuffles for candidates);
+#   * the only exchanges are candidate-proportional: the (doc, ev_doc)
+#     dropDuplicates and the per-doc hits groupBy — both scale with
+#     contamination volume, not corpus size;
+#   * verification is exact Jaccard over shingle sets: the deduped
+#     candidate pairs broadcast onto ONE further corpus scan that
+#     computes sets only, so the fat set column is consumed
+#     pipeline-locally and never rides an exchange — the same
+#     store_shingles=False discipline as the pipeline's verify join.
+# Skew: a band key's fan-out is bounded by (corpus rows in key) x (eval
+# rows in key); the eval side is small and pre-distinct per key, so the
+# probe join cannot produce a quadratic bucket the way a corpus
+# self-join can — no salting needed on this shape.
+# --------------------------------------------------------------------------
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_k: int, out_id: str) -> DataFrame:
+    from dedupe_trees_spark.functions.minhash import shingle_set_udf
+    from dedupe_trees_spark.functions.text import token_hashes
+
+    return df.select(
+        F.col(id_col).alias(out_id),
+        shingle_set_udf(shingle_k)(token_hashes(text_col)).alias("_set"),
+    )
+
+
+def fuzzy_overlap_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    tau: float = 0.8,
+    shingle_k: int = 3,
+    num_perm: int = 128,
+    seed: int = 42,
+    bands: int = 32,
+    rows: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Verified cross-corpus near-dup pairs: (id_col, _ev_id, jaccard)
+    for every (corpus doc, eval doc) pair with exact shingle-Jaccard
+    >= tau, LSH-blocked (recall = band curve at the configured
+    bands x rows; precision exact by construction — every emitted pair
+    carries its recomputed Jaccard)."""
+    from dedupe_trees_spark.functions.minhash import minhash_udf
+    from dedupe_trees_spark.operators.lsh import explode_bands, jaccard_expr
+
+    eid = eval_id_col or id_col
+    mh = minhash_udf(num_perm, seed)
+
+    ev_sets = _shingle_sets(eval_df, eid, text_col, shingle_k, "_ev_id")
+    ev_bands = explode_bands(
+        ev_sets.withColumn("_mh", mh(F.col("_set"))),
+        sig_col="_mh", id_col="_ev_id", bands=bands, rows=rows,
+    )
+    corp_sets = _shingle_sets(corpus, id_col, text_col, shingle_k, id_col)
+    corp_bands = explode_bands(
+        corp_sets.withColumn("_mh", mh(F.col("_set"))),
+        sig_col="_mh", id_col=id_col, bands=bands, rows=rows,
+    )
+
+    cands = (
+        corp_bands.join(F.broadcast(ev_bands), ["band_id", "band_hash"])
+        .select(id_col, "_ev_id")
+        .dropDuplicates([id_col, "_ev_id"])
+    )
+    # Verify: ONE more corpus scan (shingle sets only — no minhash) with
+    # the deduped candidate pairs BROADCAST onto it, so the corpus never
+    # shuffles and the candidate branch is computed exactly once (inside
+    # the broadcast build). Candidate volume is contamination-sized by
+    # regime — the same bound the exact rule's broadcast join-back
+    # accepts; the dedup exchange is candidate-proportional.
+    return (
+        corp_sets.join(F.broadcast(cands), id_col)
+        .join(
+            F.broadcast(ev_sets.withColumnRenamed("_set", "_ev_set")), "_ev_id"
+        )
+        .withColumn("jaccard", jaccard_expr(F.col("_set"), F.col("_ev_set")))
+        .filter(F.col("jaccard") >= tau)
+        .select(id_col, "_ev_id", "jaccard")
+    )
+
+
+def fuzzy_contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    tau: float = 0.8,
+    shingle_k: int = 3,
+    num_perm: int = 128,
+    seed: int = 42,
+    bands: int = 32,
+    rows: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """One row per corpus doc: (id_col, n_eval_docs, max_jaccard,
+    contaminated) — the near-dup analogue of contamination_report."""
+    pairs = fuzzy_overlap_pairs(
+        corpus, eval_df, tau, shingle_k, num_perm, seed, bands, rows,
+        text_col, id_col, eval_id_col,
+    )
+    hits = pairs.groupBy(id_col).agg(
+        F.countDistinct("_ev_id").alias("n_eval_docs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_eval_docs", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    tau: float = 0.8,
+    shingle_k: int = 3,
+    num_perm: int = 128,
+    seed: int = 42,
+    bands: int = 32,
+    rows: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Corpus rows whose shingle-Jaccard vs EVERY eval doc is < tau —
+    broadcast anti-join on the (small) fuzzy-contaminated id set; the
+    corpus is scanned, never shuffled."""
+    dirty = (
+        fuzzy_overlap_pairs(
+            corpus, eval_df, tau, shingle_k, num_perm, seed, bands, rows,
+            text_col, id_col, eval_id_col,
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(dirty), id_col, "left_anti")

@@ -2560,3 +2560,186 @@ FROM spliced p JOIN stats st USING (doc_id)
 
 QUERIES.update({"span_scrubbed_docs": q_span_scrubbed_docs})
 ORACLES.update({"span_scrubbed_docs": SQL_SPAN_SCRUBBED_DOCS})
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (MinHash-LSH) decontamination (operators/decontaminate.py, r4)
+# --------------------------------------------------------------------------
+# The near-dup complement of the exact n-gram rule: a corpus doc whose
+# shingle-Jaccard vs ANY eval doc >= tau is contaminated even when no
+# verbatim 13-gram survives the paraphrase. Same mod-23 eval split as
+# the exact family; k=3 word shingles (the minhash family's config) so
+# the oracle reuses the brute-force cross-Jaccard formulation the
+# minhash_lsh_dup_pairs oracle already proves LSH-recall-complete at
+# fixture SFs (measured cross-split max J here >= 0.95, far above the
+# 32x4 band curve's knee). Engine-side sets are 64-bit hashed shingles;
+# set sizes equal distinct-string counts w.h.p., so Jaccard values are
+# IEEE-identical cross-engine (same int division).
+
+_FUZZY_TAU = 0.8
+
+
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per corpus-doc near-dup benchmark overlap: distinct eval docs with
+    J >= tau, max Jaccard, contaminated flag. Eval bands + sets broadcast;
+    corpus never shuffled (candidate-proportional exchanges only)."""
+    from dedupe_trees_spark.operators.decontaminate import fuzzy_contamination_report
+
+    corpus, ev = _decontam_split(spark, sf_dir)
+    return fuzzy_contamination_report(corpus, ev, tau=_FUZZY_TAU)
+
+
+_FUZZY_CTES = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+grams0 AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i FROM toks)
+  UNION
+  SELECT doc_id, array_to_string(arr, ' ') AS g FROM toks WHERE len(arr) < 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams0 GROUP BY doc_id),
+corp AS (SELECT * FROM grams0 WHERE doc_id % {_DECONTAM_MOD} != 0),
+ev AS (SELECT * FROM grams0 WHERE doc_id % {_DECONTAM_MOD} = 0),
+inter AS (
+  SELECT c.doc_id AS doc_id, e.doc_id AS ev_id, count(*) AS c
+  FROM corp c JOIN ev e ON c.g = e.g GROUP BY 1, 2
+),
+jp AS (
+  SELECT i.doc_id, i.ev_id, CAST(i.c AS DOUBLE)/(sc.n + se.n - i.c) AS j
+  FROM inter i JOIN sizes sc ON sc.doc_id = i.doc_id
+              JOIN sizes se ON se.doc_id = i.ev_id
+  WHERE CAST(i.c AS DOUBLE)/(sc.n + se.n - i.c) >= {_FUZZY_TAU}
+)
+"""
+
+SQL_FUZZY_CONTAMINATION = f"""
+WITH {_FUZZY_CTES},
+hits AS (
+  SELECT doc_id, count(DISTINCT ev_id) AS n_eval_docs, max(j) AS max_jaccard
+  FROM jp GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_eval_docs, 0) AS n_eval_docs,
+       coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+       coalesce(h.n_eval_docs, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {_DECONTAM_MOD} != 0
+"""
+
+
+def q_fuzzy_decontam_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-decontaminated corpus (broadcast anti-join on the
+    near-dup-contaminated id set) — id + size pins row identity."""
+    from dedupe_trees_spark.operators.decontaminate import fuzzy_decontaminate
+
+    corpus, ev = _decontam_split(spark, sf_dir)
+    return fuzzy_decontaminate(corpus, ev, tau=_FUZZY_TAU).select(
+        "doc_id", "n_chars"
+    )
+
+
+SQL_FUZZY_DECONTAM_SURVIVORS = f"""
+WITH {_FUZZY_CTES}
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id % {_DECONTAM_MOD} != 0
+  AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM jp)
+"""
+
+
+QUERIES.update(
+    {
+        "fuzzy_contamination": q_fuzzy_contamination,
+        "fuzzy_decontam_survivors": q_fuzzy_decontam_survivors,
+    }
+)
+ORACLES.update(
+    {
+        "fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
+        "fuzzy_decontam_survivors": SQL_FUZZY_DECONTAM_SURVIVORS,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# WARC ingest roundtrip (sources/warc.py, r4)
+# --------------------------------------------------------------------------
+# Gives the Common-Crawl ingest edge an EQUALITY oracle the driver
+# replays every round (it previously had pytest coverage only): the
+# documents fixture is serialized as gzipped WARC response records
+# (HTTP-wrapped html shell around each text), read back through
+# read_pages_warc, and compared column-for-column against values the
+# oracle computes straight from the parquet. A hash match proves the
+# record walk, Content-Length framing, HTTP-header strip, WARC-Date
+# parse, and html→text extraction reproduce (url, warc_ts, text)
+# byte-identically — the input_hint invariant at the ingest edge.
+# Fixture construction (driver-side write of a few .warc.gz files) is
+# test scaffolding; the measured operator is the distributed read.
+
+_WARC_TS0 = "2026-01-01 00:00:00"
+
+
+def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    rows = sorted(d.collect(), key=lambda r: r["doc_id"])
+    root = f"/tmp/spark_graft_warc/{os.path.basename(sf_dir.rstrip('/'))}_{len(rows)}"
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        return root
+    from datetime import datetime, timedelta, timezone
+
+    from dedupe_trees_spark.sources.warc import write_warc
+
+    os.makedirs(root, exist_ok=True)
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    recs = [
+        {
+            "url": f"https://{r['source']}.example/d{r['doc_id']}.html",
+            "warc_ts": t0 + timedelta(seconds=int(r["doc_id"]) % 86400),
+            "html": (_HTML_SHELL_PRE + r["text"] + _HTML_SHELL_POST).encode(),
+            "http_wrap": True,
+        }
+        for r in rows
+    ]
+    n_files = 8
+    per = (len(recs) + n_files - 1) // n_files
+    for i in range(0, len(recs), per):
+        write_warc(recs[i : i + per], os.path.join(root, f"part-{i:08d}.warc.gz"))
+    open(marker, "w").close()
+    return root
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → .warc.gz → read_pages_warc → per-doc parse proof:
+    (doc_id from url, url, warc_ts string, extracted-text md5 + length).
+    Oracle computes the same directly from the parquet — equality pins
+    the whole ingest path."""
+    from dedupe_trees_spark.sources.warc import read_pages_warc
+
+    root = _warc_fixture(spark, sf_dir)
+    pages = read_pages_warc(spark, f"{root}/*.warc.gz")
+    return pages.select(
+        F.regexp_extract("url", r"/d(\d+)\.html$", 1).cast("long").alias("doc_id"),
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("n_chars_extracted"),
+    )
+
+
+SQL_WARC_ROUNDTRIP = f"""
+SELECT doc_id,
+       'https://' || source || '.example/d' || CAST(doc_id AS VARCHAR)
+         || '.html' AS url,
+       strftime(TIMESTAMP '{_WARC_TS0}'
+                + (doc_id % 86400) * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS ts,
+       md5(text) AS text_md5,
+       length(text) AS n_chars_extracted
+FROM documents
+"""
+
+
+QUERIES.update({"warc_roundtrip": q_warc_roundtrip})
+ORACLES.update({"warc_roundtrip": SQL_WARC_ROUNDTRIP})

@@ -94,3 +94,109 @@ def test_eval_side_is_broadcast_and_corpus_not_shuffled(spark):
     )
     assert "BroadcastHashJoin" in anti
     assert "LeftAnti" in anti
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (MinHash-LSH) decontamination
+# --------------------------------------------------------------------------
+
+
+def _fuzzy_fixture(spark):
+    """Eval doc 100 = w0..w39. Corpus: doc 1 = exact copy (J=1.0);
+    doc 2 = paraphrase with tokens 9/19/29 replaced (38 shared of 47
+    distinct 3-shingles -> J = 29/47 ~ 0.617, and every common token
+    run is <= 10 so NO 13-gram survives); doc 3 = clean."""
+    ev_toks = [f"w{i}" for i in range(40)]
+    para = list(ev_toks)
+    for i in (9, 19, 29):
+        para[i] = f"x{i}"
+    ev = _docs(spark, [(100, " ".join(ev_toks))])
+    corpus = _docs(
+        spark,
+        [
+            (1, " ".join(ev_toks)),
+            (2, " ".join(para)),
+            (3, " ".join(f"c{i}" for i in range(40))),
+        ],
+    )
+    return corpus, ev
+
+
+def test_fuzzy_catches_paraphrase_exact_rule_misses(spark):
+    """The motivating case: a one-token-per-ten edit leaves no shared
+    13-gram (exact rule clean) but shingle-Jaccard 0.617 (fuzzy dirty
+    at tau=0.6)."""
+    from dedupe_trees_spark.operators.decontaminate import (
+        fuzzy_contamination_report,
+    )
+
+    corpus, ev = _fuzzy_fixture(spark)
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_report(corpus, ev, n=13).collect()
+    }
+    assert exact[2] is False  # paraphrase defeats the exact rule
+    fuzzy = {
+        r["doc_id"]: r
+        for r in fuzzy_contamination_report(corpus, ev, tau=0.6).collect()
+    }
+    assert fuzzy[2]["contaminated"] is True
+    assert abs(fuzzy[2]["max_jaccard"] - 29 / 47) < 1e-12
+    assert fuzzy[1]["contaminated"] is True and fuzzy[1]["max_jaccard"] == 1.0
+    assert fuzzy[3]["contaminated"] is False and fuzzy[3]["n_eval_docs"] == 0
+
+
+def test_fuzzy_decontaminate_drops_exactly_the_flagged(spark):
+    from dedupe_trees_spark.operators.decontaminate import (
+        fuzzy_contamination_report,
+        fuzzy_decontaminate,
+    )
+
+    corpus, ev = _fuzzy_fixture(spark)
+    flagged = {
+        r["doc_id"]
+        for r in fuzzy_contamination_report(corpus, ev, tau=0.6).collect()
+        if r["contaminated"]
+    }
+    kept = {r["doc_id"] for r in fuzzy_decontaminate(corpus, ev, tau=0.6).collect()}
+    assert flagged == {1, 2}
+    assert kept == {3}
+    assert kept | flagged == {1, 2, 3}
+
+
+def test_fuzzy_tau_monotone(spark):
+    from dedupe_trees_spark.operators.decontaminate import (
+        fuzzy_contamination_report,
+    )
+
+    corpus, ev = _fuzzy_fixture(spark)
+
+    def dirty(tau):
+        return {
+            r["doc_id"]
+            for r in fuzzy_contamination_report(corpus, ev, tau=tau).collect()
+            if r["contaminated"]
+        }
+
+    assert dirty(0.95) <= dirty(0.6) <= dirty(0.3)
+    assert dirty(0.95) == {1}  # only the exact copy survives tau=0.95
+
+
+def test_fuzzy_plan_broadcasts_eval_never_shuffle_joins(spark):
+    """Every join in the fuzzy pass must be broadcast (eval side or
+    candidate-id side) — a SortMergeJoin would mean the corpus shuffled
+    on a join key, the exact thing the zero-corpus-shuffle discipline
+    forbids."""
+    from dedupe_trees_spark.operators.decontaminate import (
+        fuzzy_contamination_report,
+    )
+
+    corpus, ev = _fuzzy_fixture(spark)
+    plan = (
+        fuzzy_contamination_report(corpus, ev, tau=0.6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
