@@ -276,14 +276,21 @@ def fuzzy_overlap_pairs(
         .select(id_col, "_ev_id")
         .dropDuplicates([id_col, "_ev_id"])
     )
-    # Verify: ONE more corpus scan (shingle sets only — no minhash) with
-    # the deduped candidate pairs BROADCAST onto it, so the corpus never
-    # shuffles and the candidate branch is computed exactly once (inside
-    # the broadcast build). Candidate volume is contamination-sized by
-    # regime — the same bound the exact rule's broadcast join-back
-    # accepts; the dedup exchange is candidate-proportional.
+    # Verify: ONE more corpus scan with the deduped candidate pairs
+    # BROADCAST onto it, so the corpus never shuffles and the candidate
+    # branch is computed exactly once (inside the broadcast build). The
+    # shingle-set UDF sits ABOVE the join, so it runs only on candidate
+    # rows (a join below a Python-UDF projection would compute sets for
+    # every corpus doc — Catalyst does not reorder through Python).
+    # Candidate volume is contamination-sized by regime — the same
+    # bound the exact rule's broadcast join-back accepts.
+    from dedupe_trees_spark.functions.minhash import shingle_set_udf
+    from dedupe_trees_spark.functions.text import token_hashes
+
     return (
-        corp_sets.join(F.broadcast(cands), id_col)
+        corpus.select(id_col, text_col)
+        .join(F.broadcast(cands), id_col)
+        .withColumn("_set", shingle_set_udf(shingle_k)(token_hashes(text_col)))
         .join(
             F.broadcast(ev_sets.withColumnRenamed("_set", "_ev_set")), "_ev_id"
         )

@@ -2679,33 +2679,33 @@ _WARC_TS0 = "2026-01-01 00:00:00"
 
 
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build the .warc.gz fixture DISTRIBUTED (write_pages_warc — the
+    export sink under test on the way out, the reader on the way back,
+    zero driver collect), once per (sf, row count)."""
     import os
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    rows = sorted(d.collect(), key=lambda r: r["doc_id"])
-    root = f"/tmp/spark_graft_warc/{os.path.basename(sf_dir.rstrip('/'))}_{len(rows)}"
+    n = d.count()
+    root = f"/tmp/spark_graft_warc/{os.path.basename(sf_dir.rstrip('/'))}_{n}"
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
         return root
-    from datetime import datetime, timedelta, timezone
+    from dedupe_trees_spark.sources.warc import write_pages_warc
 
-    from dedupe_trees_spark.sources.warc import write_warc
-
-    os.makedirs(root, exist_ok=True)
-    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
-    recs = [
-        {
-            "url": f"https://{r['source']}.example/d{r['doc_id']}.html",
-            "warc_ts": t0 + timedelta(seconds=int(r["doc_id"]) % 86400),
-            "html": (_HTML_SHELL_PRE + r["text"] + _HTML_SHELL_POST).encode(),
-            "http_wrap": True,
-        }
-        for r in rows
-    ]
-    n_files = 8
-    per = (len(recs) + n_files - 1) // n_files
-    for i in range(0, len(recs), per):
-        write_warc(recs[i : i + per], os.path.join(root, f"part-{i:08d}.warc.gz"))
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/d"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        ).alias("url"),
+        F.expr(
+            f"timestamp'{_WARC_TS0}' + make_dt_interval(0, 0, 0, doc_id % 86400)"
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(_HTML_SHELL_PRE), F.col("text"), F.lit(_HTML_SHELL_POST)),
+            "UTF-8",
+        ).alias("html"),
+    )
+    write_pages_warc(pages, root, files=8).collect()
     open(marker, "w").close()
     return root
 

@@ -192,3 +192,88 @@ def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
         "source",
         F.col("source_order").cast("int"),
     ).select(*[f.name for f in PAGES_SCHEMA])
+
+
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def write_pages_warc(
+    df: DataFrame,
+    out_dir: str,
+    files: int | None = None,
+    http_wrap: bool = True,
+    compress: bool = True,
+) -> DataFrame:
+    """Distributed WARC export sink: pages rows → ``part-*.warc[.gz]``.
+
+    The inverse of :func:`read_pages_warc` — publishes a pages table
+    back into the archive format crawl infrastructure exchanges, one
+    file per partition, serialized executor-side via :func:`warc_bytes`
+    (no driver collect, no corpus shuffle beyond the optional
+    ``repartition``). Returns the manifest DataFrame
+    (file, n_records, n_bytes); the caller materializes it as the
+    write action (``.collect()`` is |files| rows).
+
+    Rows need (url, warc_ts, html); ``html`` NULL falls back to the
+    UTF-8 ``text`` bytes so text-only corpora export losslessly.
+    ``files`` repartitions by xxhash64(url) first — deterministic
+    content per file at any parallelism (hash partitioning does not
+    depend on input order), which is what makes the roundtrip contract
+    query comparable across runs.
+
+    Cluster note: part files are written with plain ``open`` into
+    ``out_dir``, which must be a filesystem every executor can reach
+    (node-shared mount in-sandbox; on HDFS/S3A deployments route the
+    bytes through the Hadoop FileSystem API like io.replace_dir — the
+    record serialization is the same either way).
+    """
+    import os
+
+    cols = df.select(
+        "url",
+        F.col("warc_ts"),
+        F.coalesce(
+            F.col("html") if "html" in df.columns else F.lit(None).cast("binary"),
+            F.encode(F.col("text"), "UTF-8") if "text" in df.columns else F.lit(None).cast("binary"),
+        ).alias("_body"),
+    )
+    if files:
+        cols = cols.repartition(files, F.xxhash64("url"))
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs: list[dict] = []
+        for pdf in batches:
+            for url, ts, body in zip(pdf["url"], pdf["warc_ts"], pdf["_body"]):
+                recs.append(
+                    {
+                        "url": url,
+                        "warc_ts": ts.to_pydatetime().replace(tzinfo=timezone.utc)
+                        if ts is not None and not pd.isna(ts)
+                        else None,
+                        "html": bytes(body) if body is not None else b"",
+                        "http_wrap": http_wrap,
+                    }
+                )
+        if not recs:
+            yield pd.DataFrame(columns=["file", "n_records", "n_bytes"])
+            return
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        data = warc_bytes(recs)
+        with open(path, "wb") as f:
+            f.write(gzip.compress(data, mtime=0) if compress else data)
+        yield pd.DataFrame(
+            [{"file": path, "n_records": len(recs), "n_bytes": len(data)}]
+        )
+
+    return cols.mapInPandas(dump, _MANIFEST_SCHEMA)

@@ -137,3 +137,56 @@ def test_warc_pages_run_the_pipeline(spark, tmp_path):
     pipe.run()
     # three byte-identical pages collapse to one survivor
     assert pipe.canonical().filter("is_canonical").count() == 1
+
+
+def test_write_pages_warc_distributed_roundtrip(spark, tmp_path):
+    """Export sink inverse property: pages -> write_pages_warc (one file
+    per hash partition, executor-side) -> read_pages_warc == the input
+    on (url, warc_ts, html bytes, extracted text)."""
+    from dedupe_trees_spark.sources.warc import read_pages_warc, write_pages_warc
+    from pyspark.sql import functions as F
+
+    pages = spark.range(0, 50).select(
+        F.concat(F.lit("https://e.example/p"), F.col("id")).alias("url"),
+        F.expr(
+            "timestamp'2026-02-01 00:00:00' + make_dt_interval(0, 0, 0, id)"
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<body>doc "), F.col("id"), F.lit(" &amp; tail</body>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    out_dir = str(tmp_path / "export")
+    manifest = write_pages_warc(pages, out_dir, files=4).collect()
+    assert sum(m["n_records"] for m in manifest) == 50
+    assert 1 <= len(manifest) <= 4 and all(m["file"].endswith(".warc.gz") for m in manifest)
+
+    back = read_pages_warc(spark, f"{out_dir}/*.warc.gz")
+    orig = {r["url"]: r for r in pages.collect()}
+    got = {r["url"]: r for r in back.collect()}
+    assert set(got) == set(orig)
+    for url, r in got.items():
+        assert bytes(r["html"]) == bytes(orig[url]["html"])
+        assert r["warc_ts"] == orig[url]["warc_ts"]
+        assert r["text"] == f"doc {url.rsplit('p', 1)[1]} & tail"
+
+
+def test_write_pages_warc_text_fallback_and_plain(spark, tmp_path):
+    """html-less corpora export via the UTF-8 text fallback; compress=False
+    writes plain .warc; http_wrap=False stores the body bare."""
+    from dedupe_trees_spark.sources.warc import read_pages_warc, write_pages_warc
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [("https://t.example/a", "alpha body"), ("https://t.example/b", "beta body")],
+        ["url", "text"],
+    ).withColumn("warc_ts", F.lit("2026-03-01 00:00:00").cast("timestamp"))
+    out_dir = str(tmp_path / "plain")
+    m = write_pages_warc(
+        pages, out_dir, files=1, http_wrap=False, compress=False
+    ).collect()
+    assert len(m) == 1 and m[0]["file"].endswith(".warc")
+    raw = open(m[0]["file"], "rb").read()
+    assert raw.startswith(b"WARC/1.0") and b"alpha body" in raw
+    got = {r["url"]: r["text"] for r in read_pages_warc(spark, m[0]["file"]).collect()}
+    assert got == {"https://t.example/a": "alpha body", "https://t.example/b": "beta body"}

@@ -20,11 +20,12 @@ Run at two core counts (e.g. 2 and 8) for the N→4N efficiency pair.
    materialized via sum(length(scrubbed)).
 
 Usage: python tools/shaping_scale.py [pages_parquet] [cores] [OUT.json] \
-           [gram|hash] [all|shaping|hygiene]
+           [gram|hash] [all|shaping|hygiene|fuzzy]
 Prints one JSON document (and writes OUT.json if given). The 4th arg
 selects the decontamination join key (default gram; hash = the
 documented scale path, xxhash64 over the token-array slice); the 5th
-restricts which phase group runs (default all).
+restricts which phase group runs (default all; fuzzy = the
+MinHash-LSH near-dup decontamination pair).
 """
 
 from __future__ import annotations
@@ -79,6 +80,8 @@ def main() -> int:
         _shaping_phases(spark, corpus, ev, n_docs, join_on, res)
     if phases in ("all", "hygiene"):
         _hygiene_phases(spark, corpus, n_docs, res)
+    if phases in ("all", "fuzzy"):
+        _fuzzy_phases(spark, corpus, ev, n_docs, res)
 
     if out_path:
         with open(out_path, "w") as fh:
@@ -145,6 +148,42 @@ def _shaping_phases(spark, corpus, ev, n_docs, join_on, res) -> None:
         "kept_docs": n_sample,
     }
     print(json.dumps({"phase": "sample", **res["sample"]}), flush=True)
+
+
+def _fuzzy_phases(spark, corpus, ev, n_docs, res) -> None:
+    """Fuzzy (MinHash-LSH) decontamination, timed standalone. The cost
+    shape is two corpus map passes (bands: shingle+minhash UDF; verify:
+    sets UDF on candidate rows only) + broadcast probes — the corpus is
+    never shuffled, so at fixed input this should scale like the
+    signature stage (map-heavy), not like a shuffle-bound stage."""
+    import json
+    import time
+
+    from dedupe_trees_spark.operators.decontaminate import (
+        fuzzy_contamination_report,
+        fuzzy_decontaminate,
+    )
+
+    t0 = time.time()
+    rep = fuzzy_contamination_report(corpus, ev, tau=0.8, id_col="url")
+    n_contam = rep.filter("contaminated").count()
+    wall = time.time() - t0
+    res["fuzzy_report"] = {
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+        "contaminated_docs": n_contam,
+    }
+    print(json.dumps({"phase": "fuzzy_report", **res["fuzzy_report"]}), flush=True)
+
+    t0 = time.time()
+    n_kept = fuzzy_decontaminate(corpus, ev, tau=0.8, id_col="url").count()
+    wall = time.time() - t0
+    res["fuzzy_decontaminate"] = {
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+        "kept_docs": n_kept,
+    }
+    print(json.dumps({"phase": "fuzzy_decontaminate", **res["fuzzy_decontaminate"]}), flush=True)
 
 
 def _hygiene_phases(spark, corpus, n_docs, res) -> None:
