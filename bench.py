@@ -113,6 +113,7 @@ def main() -> int:
         "pack_shards",
         "temperature_resample",
         "hashed_term_features",
+        "classifier_scores",
         "span_scrubbed_docs",
         "warc_roundtrip",
     ]

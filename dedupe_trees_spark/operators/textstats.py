@@ -607,3 +607,69 @@ def hashing_features(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def linear_classifier_score(
+    features: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Sparse linear-model inference over hashed features — the scoring
+    half of the fastText/DCLM-style quality-classifier filter (pair
+    with :func:`hashing_features` for the featurize half).
+
+    ``features`` is the exploded sparse form (id, bucket, cnt);
+    ``weights`` a (bucket, weight) model table. Returns
+    (id, n_terms, score, prob) with
+
+        score = bias + sum(cnt * weight) / sum(cnt)      (tf-normalized)
+        prob  = sigmoid(score)
+
+    Scale shape: the model is BROADCAST (a dim=2^18 table is ~3 MB —
+    the exact pattern of shipping a fastText model to executors; a
+    shuffle join on the bucket key would funnel every stopword bucket
+    into one partition), joined LEFT so unmatched buckets score 0 while
+    still counting in the tf norm. The ONLY exchange is the per-doc
+    groupBy on the uniform id key, map-side combined. Zero Python
+    anywhere. ``round_to`` rounds score/prob for cross-engine float-sum
+    order tolerance (contract queries use 6, the house convention).
+    """
+    scored = features.join(F.broadcast(weights), "bucket", "left")
+    score = F.lit(bias) + F.sum(
+        F.col("cnt") * F.coalesce(F.col("weight"), F.lit(0.0))
+    ) / F.sum("cnt")
+    out = scored.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_terms"), score.alias("score")
+    )
+    out = out.withColumn("prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))))
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to)).withColumn(
+            "prob", F.round("prob", round_to)
+        )
+    return out
+
+
+def quality_classifier_filter(
+    corpus: DataFrame,
+    weights: DataFrame,
+    threshold: float = 0.5,
+    dim: int = 1 << 18,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep corpus rows whose classifier probability clears
+    ``threshold`` — featurize (:func:`hashing_features`) → score
+    (:func:`linear_classifier_score`) → doc-keyed join-back. The
+    join-back is a uniform-key equi-join (doc ids unique, no skew);
+    docs with no tokens have no feature rows and are dropped, matching
+    the empty-text semantics of the other quality filters."""
+    feats = hashing_features(corpus, dim=dim, id_col=id_col, text_col=text_col)
+    keep = (
+        linear_classifier_score(feats, weights, bias=bias, id_col=id_col)
+        .filter(F.col("prob") >= threshold)
+        .select(id_col)
+    )
+    return corpus.join(keep, id_col)

@@ -2743,3 +2743,104 @@ FROM documents
 
 QUERIES.update({"warc_roundtrip": q_warc_roundtrip})
 ORACLES.update({"warc_roundtrip": SQL_WARC_ROUNDTRIP})
+
+
+# --------------------------------------------------------------------------
+# Quality-classifier inference (operators/textstats.py, r4)
+# --------------------------------------------------------------------------
+# The scoring half of the fastText/DCLM quality-filter loop over the
+# hashed-feature space (hashed_term_features is the featurize half).
+# The contract "model" is a deterministic weight per bucket —
+# (bucket % 997)/997 − 0.5 — expressible identically in both engines,
+# so the oracle pins the md5 bucketing, the broadcast left join with
+# 0-weight fallback, the tf normalization, and the sigmoid, end to end.
+# round(…, 6) on score/prob per the float-sum-order house convention.
+
+_CLS_DIM = 1 << 18
+
+
+def _cls_weights(feats):  # deterministic model table from the bucket space
+    return (
+        feats.select("bucket")
+        .distinct()
+        .withColumn(
+            "weight",
+            (F.col("bucket") % 997).cast("double") / 997.0 - 0.5,
+        )
+    )
+
+
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc linear-classifier score + sigmoid prob over md5-hashed
+    term features, deterministic weights, broadcast model."""
+    from dedupe_trees_spark.operators.textstats import (
+        hashing_features,
+        linear_classifier_score,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = hashing_features(d, dim=_CLS_DIM)
+    return linear_classifier_score(feats, _cls_weights(feats), round_to=6)
+
+
+_CLS_CTES = f"""
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {_CLS_DIM} AS INT) AS bucket,
+         count(*) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, sum(cnt) AS n_terms,
+         sum(cnt * ((bucket % 997) / 997.0 - 0.5)) / sum(cnt) AS score
+  FROM feats GROUP BY doc_id
+)
+"""
+
+SQL_CLASSIFIER_SCORES = f"""
+WITH {_CLS_CTES}
+SELECT doc_id, n_terms, round(score, 6) AS score,
+       round(1.0 / (1.0 + exp(-score)), 6) AS prob
+FROM scored
+"""
+
+
+def q_classifier_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter composition: keep docs with prob >= 0.5 (score >= 0),
+    id + size pins row identity."""
+    from dedupe_trees_spark.operators.textstats import (
+        hashing_features,
+        quality_classifier_filter,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    feats = hashing_features(d, dim=_CLS_DIM)
+    return quality_classifier_filter(
+        d, _cls_weights(feats), threshold=0.5, dim=_CLS_DIM
+    ).select("doc_id", "n_chars")
+
+
+SQL_CLASSIFIER_KEPT_DOCS = f"""
+WITH {_CLS_CTES}
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+WHERE 1.0 / (1.0 + exp(-s.score)) >= 0.5
+"""
+
+
+QUERIES.update(
+    {
+        "classifier_scores": q_classifier_scores,
+        "classifier_kept_docs": q_classifier_kept_docs,
+    }
+)
+ORACLES.update(
+    {
+        "classifier_scores": SQL_CLASSIFIER_SCORES,
+        "classifier_kept_docs": SQL_CLASSIFIER_KEPT_DOCS,
+    }
+)

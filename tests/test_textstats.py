@@ -130,3 +130,79 @@ def test_hashing_features_plan_single_partial_agged_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan  # map-side combine before the shuffle
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# Quality-classifier inference (linear_classifier_score / filter)
+# --------------------------------------------------------------------------
+
+
+def test_linear_classifier_score_hand_example(spark):
+    from dedupe_trees_spark.operators.textstats import linear_classifier_score
+
+    feats = spark.createDataFrame(
+        [(1, 10, 2), (1, 20, 1), (2, 30, 4)], ["doc_id", "bucket", "cnt"]
+    )
+    weights = spark.createDataFrame([(10, 0.5), (20, -1.0)], ["bucket", "weight"])
+    out = {r["doc_id"]: r for r in linear_classifier_score(feats, weights).collect()}
+    # doc 1: (2*0.5 + 1*-1)/3 = 0 -> prob 0.5; doc 2: bucket 30 has no
+    # weight -> 0-weight fallback still counts in the tf norm
+    assert out[1]["n_terms"] == 3 and abs(out[1]["score"]) < 1e-12
+    assert abs(out[1]["prob"] - 0.5) < 1e-12
+    assert out[2]["n_terms"] == 4 and out[2]["score"] == 0.0
+
+    biased = {
+        r["doc_id"]: r["score"]
+        for r in linear_classifier_score(feats, weights, bias=1.0).collect()
+    }
+    assert abs(biased[1] - 1.0) < 1e-12 and abs(biased[2] - 1.0) < 1e-12
+
+
+def test_quality_classifier_filter_threshold_and_empty_docs(spark):
+    from pyspark.sql import functions as F
+    from dedupe_trees_spark.operators.textstats import (
+        hashing_features,
+        quality_classifier_filter,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "good text here"), (2, "bad stuff"), (3, "")],
+        ["doc_id", "text"],
+    )
+    feats = hashing_features(corpus, dim=64)
+    # weights chosen from doc 1's own buckets -> doc 1 positive, doc 2 has
+    # zero matched weight (score 0, prob 0.5); doc 3 empty -> no features
+    w_pos = feats.filter("doc_id = 1").select("bucket").distinct().withColumn(
+        "weight", F.lit(2.0)
+    )
+    kept = {
+        r["doc_id"]
+        for r in quality_classifier_filter(corpus, w_pos, threshold=0.6, dim=64).collect()
+    }
+    assert kept == {1}
+    kept_half = {
+        r["doc_id"]
+        for r in quality_classifier_filter(corpus, w_pos, threshold=0.5, dim=64).collect()
+    }
+    assert kept_half == {1, 2}  # empty doc 3 never passes (no feature rows)
+
+
+def test_linear_classifier_plan_broadcast_model_one_exchange(spark):
+    """The model join must be broadcast (a shuffle join on the bucket key
+    funnels stopword buckets into single partitions) and the per-doc agg
+    the only exchange, map-side combined."""
+    from dedupe_trees_spark.operators.textstats import linear_classifier_score
+
+    feats = spark.createDataFrame(
+        [(1, 10, 2), (2, 30, 4)], ["doc_id", "bucket", "cnt"]
+    )
+    weights = spark.createDataFrame([(10, 0.5)], ["bucket", "weight"])
+    plan = (
+        linear_classifier_score(feats, weights)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
