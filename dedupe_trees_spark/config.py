@@ -113,6 +113,12 @@ class PipelineConfig:
     # count, 8 B/entry broadcast, one-sided over-flag collision risk
     # only (operators/decontaminate.py module notes) — the scale path.
     decontam_join_on: str = "gram"
+    # fuzzy (MinHash-LSH) decontamination against the same eval parquet:
+    # 0.0 = off; > 0 drops kept pages whose exact shingle-Jaccard vs any
+    # eval doc clears the threshold — the near-dup complement of the
+    # exact rule (paraphrased eval docs share no 13-gram). Runs right
+    # after the exact rule so both probes see the same filtered rows.
+    fuzzy_decontam_tau: float = 0.0
     domain_cap: int = 0  # 0 = no per-domain cap
     sample_frac: float = 1.0  # 1.0 = keep everything
     # crawl-hygiene battery, also part of the training-set export:
@@ -174,6 +180,14 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
         "training-set export",
     )
     p.add_argument("--decontam-n", type=int, default=13, dest="decontam_n")
+    p.add_argument(
+        "--fuzzy-decontam", type=float, default=0.0, dest="fuzzy_decontam_tau",
+        metavar="TAU",
+        help="also drop kept pages whose shingle-Jaccard vs any "
+        "--decontam-eval doc is >= TAU (MinHash-LSH blocked, exact-"
+        "Jaccard verified) — catches paraphrased benchmark leaks the "
+        "exact n-gram rule misses (0 = off)",
+    )
     p.add_argument(
         "--decontam-hash", action="store_const", const="hash",
         default="gram", dest="decontam_join_on",

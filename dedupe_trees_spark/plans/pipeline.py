@@ -487,7 +487,9 @@ class DedupePipeline:
 
         Ordering rationale: blocklist first (cheapest cut, broadcast
         anti-join), quality rules next (zero-shuffle map), both BEFORE
-        decontamination so the probe join sees fewer rows; the PII
+        decontamination so the probe join sees fewer rows; fuzzy
+        (MinHash-LSH) decontamination right after the exact rule so
+        both probes read the same filtered rows; the PII
         rewrite runs LAST so the regex pass touches only surviving rows
         and decontamination n-grams match the original crawl text
         rather than masked text.
@@ -527,6 +529,18 @@ class DedupePipeline:
             out = decontaminate(
                 out, ev, n=cfg.decontam_n, text_col="text", id_col="url",
                 join_on=cfg.decontam_join_on,
+            )
+        if cfg.fuzzy_decontam_tau > 0.0:
+            if not cfg.decontam_eval_path:
+                raise ValueError("--fuzzy-decontam needs --decontam-eval")
+            from dedupe_trees_spark.operators.decontaminate import (
+                fuzzy_decontaminate,
+            )
+
+            ev = self.spark.read.parquet(cfg.decontam_eval_path)
+            out = fuzzy_decontaminate(
+                out, ev, tau=cfg.fuzzy_decontam_tau, text_col="text",
+                id_col="url",
             )
         if cfg.domain_cap > 0:
             out = (

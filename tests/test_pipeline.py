@@ -739,3 +739,51 @@ def test_training_set_temperature_and_shards(spark, tmp_path):
          "--shard-tokens", "3000"]
     )
     assert c2.temperature_alpha == 0.5 and c2.shard_tokens == 3000
+
+
+def test_training_set_fuzzy_decontam_cuts_paraphrased_eval(spark, tmp_path):
+    """S6 --fuzzy-decontam: eval docs are PARAPHRASES of 5 kept pages
+    (every 30th token replaced — shingle-Jaccard ~0.82, every common
+    token run < 40 so the exact rule at n=40 cannot fire). A/B on the
+    same checkpoints: exact-only export keeps the sources, fuzzy cuts
+    exactly them."""
+    inp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    evp = str(tmp_path / "eval")
+    generate_pages(spark, GenConfig(n_docs=400, seed=7), partitions=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+
+    base = DedupePipeline(
+        spark, PipelineConfig(input_path=inp, ckpt_dir=ckpt, bucket_cap=64)
+    )
+    base.run()
+    kept = base.deduped_pages().orderBy("url").limit(5).collect()
+    para_rows = []
+    for r in kept:
+        toks = r["text"].split(" ")
+        for i in range(15, len(toks), 30):
+            toks[i] = f"zzq{i}"
+        para_rows.append((r["url"] + "#eval", " ".join(toks)))
+    spark.createDataFrame(para_rows, ["url", "text"]).write.mode(
+        "overwrite"
+    ).parquet(evp)
+    src_urls = {r["url"] for r in kept}
+
+    def export(tau):
+        cfg = PipelineConfig(
+            input_path=inp, ckpt_dir=ckpt, bucket_cap=64,
+            decontam_eval_path=evp, decontam_n=40, fuzzy_decontam_tau=tau,
+        )
+        pipe = DedupePipeline(spark, cfg)
+        pipe.run()
+        return {r["url"] for r in pipe.training_set().select("url").collect()}
+
+    exact_only = export(0.0)
+    assert src_urls <= exact_only  # n=40 exact rule cannot see the paraphrase
+    # rebuild S6 with the fuzzy pass on the same committed S1-S5
+    import shutil
+
+    shutil.rmtree(f"{ckpt}/training_set", ignore_errors=True)
+    with_fuzzy = export(0.7)
+    assert with_fuzzy == exact_only - src_urls

@@ -164,6 +164,13 @@ def _fuzzy_phases(spark, corpus, ev, n_docs, res) -> None:
         fuzzy_decontaminate,
     )
 
+    # JVM codegen + python-UDF worker-pool warmup (protocol: the timed
+    # section must not pay first-evaluation JIT/fork costs — measured
+    # 2x on the first fuzzy phase of a fresh session at 8 cores)
+    fuzzy_contamination_report(
+        corpus.limit(2000), ev.limit(500), tau=0.8, id_col="url"
+    ).filter("contaminated").count()
+
     t0 = time.time()
     rep = fuzzy_contamination_report(corpus, ev, tau=0.8, id_col="url")
     n_contam = rep.filter("contaminated").count()
