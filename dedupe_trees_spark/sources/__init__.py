@@ -7,7 +7,12 @@ from dedupe_trees_spark.sources.pages import (
     read_pages_csv,
     read_pages_jsonl,
 )
-from dedupe_trees_spark.sources.warc import read_pages_warc, warc_bytes, write_warc
+from dedupe_trees_spark.sources.warc import (
+    read_pages_warc,
+    warc_bytes,
+    write_pages_warc,
+    write_warc,
+)
 
 __all__ = [
     "PAGES_SCHEMA",
@@ -16,5 +21,6 @@ __all__ = [
     "read_pages_jsonl",
     "read_pages_warc",
     "warc_bytes",
+    "write_pages_warc",
     "write_warc",
 ]
