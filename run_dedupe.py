@@ -35,6 +35,8 @@ def main(argv: list[str] | None = None) -> int:
     sequester_dir = pop_opt("--sequester")   # R12 sink: removals moved aside
     manifest_dir = pop_opt("--manifest")     # R13 sink: removal list (csv)
     training_out = pop_opt("--training-out") # S6 sink: exported training set
+    out_format = pop_opt("--out-format", "parquet")  # parquet|jsonl|jsonl.gz|warc
+    out_shards = pop_opt("--out-shards")     # fixed part-file count for the sink
     warmup = "--warmup" in argv
     if warmup:
         argv.remove("--warmup")
@@ -100,13 +102,38 @@ def main(argv: list[str] | None = None) -> int:
 
     if training_out:
         # publish the shaped corpus (or plain deduped pages when no
-        # shaping flag is set) outside the checkpoint dir
+        # shaping flag is set) outside the checkpoint dir, in the
+        # requested layout: parquet (default), jsonl[.gz] (the common
+        # LLM-training shard format; `html` binaries serialize as
+        # base64), or warc (re-archive via write_pages_warc).
+        # --out-shards N fixes the part-file count by repartitioning on
+        # xxhash64(url) — deterministic file contents at any input
+        # parallelism, unlike round-robin coalesce.
         out = (
             pipe.training_set()
             if "training_set" in report
             else pipe.deduped_pages()
         )
-        out.write.mode("overwrite").parquet(training_out)
+        n_shards = int(out_shards) if out_shards else None
+        if out_format == "warc":
+            from dedupe_trees_spark.sources.warc import write_pages_warc
+
+            write_pages_warc(out, training_out, files=n_shards).collect()
+        elif out_format in ("parquet", "jsonl", "jsonl.gz"):
+            if n_shards:
+                out = out.repartition(n_shards, out["url"])
+            w = out.write.mode("overwrite")
+            if out_format == "parquet":
+                w.parquet(training_out)
+            else:
+                if out_format == "jsonl.gz":
+                    w = w.option("compression", "gzip")
+                w.json(training_out)
+        else:
+            raise ValueError(
+                f"--out-format {out_format!r}: expected parquet, jsonl, "
+                "jsonl.gz, or warc"
+            )
 
     canon = pipe.canonical()
     n_total = canon.count()

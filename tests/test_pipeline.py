@@ -574,6 +574,50 @@ def test_training_out_cli_sink(spark, tmp_path, capsys):
     assert all(r["count"] <= 30 for r in sizes.collect())
 
 
+def test_training_out_formats(spark, tmp_path, capsys):
+    """--out-format jsonl.gz / warc publish the same url set as the
+    parquet sink, and --out-shards pins the part-file count. Runs share
+    one ckpt dir: the 2nd/3rd invocation resumes every stage and only
+    re-exports, so the test times the sinks, not three pipelines."""
+    import glob
+
+    import run_dedupe
+    from dedupe_trees_spark.sources.warc import read_pages_warc
+
+    inp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    generate_pages(spark, GenConfig(n_docs=200, seed=13), partitions=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    outs = {fmt: str(tmp_path / f"train_{fmt.replace('.', '_')}")
+            for fmt in ("parquet", "jsonl.gz", "warc")}
+    for fmt, out in outs.items():
+        rc = run_dedupe.main(
+            ["--input", inp, "--ckpt", ckpt, "--bucket-cap", "64",
+             "--training-out", out, "--out-format", fmt, "--out-shards", "3"]
+        )
+        assert rc == 0
+    capsys.readouterr()
+
+    pq = spark.read.parquet(outs["parquet"])
+    js = spark.read.json(outs["jsonl.gz"])
+    wc = read_pages_warc(spark, outs["warc"] + "/*.warc.gz")
+    urls_pq = {r["url"] for r in pq.select("url").collect()}
+    assert {r["url"] for r in js.select("url").collect()} == urls_pq
+    assert {r["url"] for r in wc.select("url").collect()} == urls_pq
+    # jsonl rows keep the text verbatim (spot-check via a sorted join)
+    a = {r["url"]: r["text"] for r in pq.select("url", "text").collect()}
+    b = {r["url"]: r["text"] for r in js.select("url", "text").collect()}
+    assert a == b
+    assert len(glob.glob(outs["jsonl.gz"] + "/part-*.json.gz")) == 3
+    assert len(glob.glob(outs["warc"] + "/part-*.warc.gz")) == 3
+    with pytest.raises(ValueError):
+        run_dedupe.main(
+            ["--input", inp, "--ckpt", ckpt, "--training-out",
+             str(tmp_path / "bad"), "--out-format", "orc"]
+        )
+
+
 def test_training_set_hygiene_battery(spark, tmp_path):
     """S6 hygiene flags: --blocklist drops every page of the listed
     domain, --quality-filter keeps exactly the gopher_keep set, and
