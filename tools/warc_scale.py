@@ -62,9 +62,12 @@ def main() -> int:
     n_docs = pages.count()
     res["n_docs"] = n_docs
 
-    # tiny warmup: JVM codegen + arrow path
-    warm = pages.limit(2000)
-    write_pages_warc(warm, "/tmp/warc_warm", files=2).collect()
+    # warmup: JVM codegen + arrow path. sample() (not limit(), which
+    # collapses to one partition) + files=2*cores so EVERY Python
+    # worker slot forks/imports before the timed section — the
+    # warm-every-slot rule from docs/SCALE.md
+    warm = pages.sample(0.002, seed=1)
+    write_pages_warc(warm, "/tmp/warc_warm", files=2 * cores).collect()
     read_pages_warc(spark, "/tmp/warc_warm/*.warc.gz").count()
     shutil.rmtree("/tmp/warc_warm", ignore_errors=True)
 
