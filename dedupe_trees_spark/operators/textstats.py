@@ -659,17 +659,39 @@ def quality_classifier_filter(
     bias: float = 0.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_drop: bool = False,
 ) -> DataFrame:
     """Keep corpus rows whose classifier probability clears
     ``threshold`` — featurize (:func:`hashing_features`) → score
-    (:func:`linear_classifier_score`) → doc-keyed join-back. The
-    join-back is a uniform-key equi-join (doc ids unique, no skew);
-    docs with no tokens have no feature rows and are dropped, matching
-    the empty-text semantics of the other quality filters."""
+    (:func:`linear_classifier_score`) → doc-keyed join-back.
+
+    The keep decision compares ``round(prob, 6)`` (the house
+    float-sum-order tolerance): ``score`` is a float sum whose addend
+    order differs across engines/partitionings, and with rational
+    weights an exact boundary hit (prob == threshold) is attainable —
+    unrounded comparison could flip a boundary doc between runs.
+
+    Join-back shape: with ``broadcast_drop=True`` the DROPPED id set is
+    broadcast and removed via ``left_anti`` — the corpus never
+    shuffles; use this when the filter is a light trim (drop fraction
+    small and bounded, the usual production posture for a quality gate
+    stacked after harder filters). The default is a plain uniform-key
+    equi-join: at threshold 0.5 on a raw crawl roughly half the corpus
+    falls on each side, so neither id set is broadcastable and one
+    corpus exchange on the unique doc-id key is the floor — this is
+    the one hygiene filter where a corpus shuffle is inherent, unlike
+    decontaminate/fuzzy_decontaminate whose dropped sets are
+    eval-benchmark-sized. Docs with no tokens have no feature rows and
+    are dropped (semi) / kept (anti joins only remove scored drops) —
+    ``broadcast_drop`` therefore also KEEPS empty-text docs; callers
+    stack an explicit empty-text filter first (as the S-pipeline does).
+    """
     feats = hashing_features(corpus, dim=dim, id_col=id_col, text_col=text_col)
-    keep = (
-        linear_classifier_score(feats, weights, bias=bias, id_col=id_col)
-        .filter(F.col("prob") >= threshold)
-        .select(id_col)
+    scores = linear_classifier_score(
+        feats, weights, bias=bias, id_col=id_col, round_to=6
     )
+    if broadcast_drop:
+        dropped = scores.filter(F.col("prob") < threshold).select(id_col)
+        return corpus.join(F.broadcast(dropped), id_col, "left_anti")
+    keep = scores.filter(F.col("prob") >= threshold).select(id_col)
     return corpus.join(keep, id_col)

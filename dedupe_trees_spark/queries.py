@@ -1497,7 +1497,7 @@ def q_domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOMAIN_DOC_STATS = f"""
 WITH raw AS (SELECT doc_id, n_chars, {_MESSY_URL_SQL} AS url FROM documents),
 dom AS (SELECT doc_id, n_chars, {_SQL_DOMAIN} AS domain FROM raw)
-SELECT domain, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT domain, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS first_doc_id
 FROM dom GROUP BY domain
 """
@@ -1544,7 +1544,7 @@ def q_stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STRATIFIED_SAMPLE_STATS = """
-SELECT lang, count(*) AS n_kept, sum(n_chars) AS kept_chars
+SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
 FROM documents
 WHERE substr(md5(cast(doc_id AS VARCHAR)), 1, 8)
       < (CASE WHEN lang = 'en' THEN '99999999' ELSE '40000000' END)
@@ -2121,7 +2121,7 @@ WITH d AS (
 )
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
        round(quantile_cont(n_chars, 0.9), 6) AS chars_p90,
        round(quantile_cont(n_chars, 0.99), 6) AS chars_p99,
@@ -2399,12 +2399,13 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,
-         (sum(n_tokens) OVER (ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-           AS cum_before
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS cum_before
   FROM t
 )
-SELECT doc_id, n_tokens, cum_before, cum_before // 5000 AS shard_id FROM c
+SELECT doc_id, n_tokens, cum_before,
+       CAST(cum_before // 5000 AS BIGINT) AS shard_id FROM c
 """
 
 QUERIES.update({"pack_shards": q_pack_shards})
@@ -2685,8 +2686,19 @@ def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    n = d.count()
-    root = f"/tmp/spark_graft_warc/{os.path.basename(sf_dir.rstrip('/'))}_{n}"
+    # cache key = order-insensitive CONTENT hash of the fixture inputs
+    # (bit_xor of xxhash64(doc_id, text, source)), not just sf+rowcount:
+    # a regenerated documents table with the same row count must never
+    # silently reuse a stale export (it would fail/pass the roundtrip
+    # for reasons unrelated to the code under test).
+    sig = d.agg(
+        F.bit_xor(F.xxhash64("doc_id", "text", "source")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    root = (
+        f"/tmp/spark_graft_warc/{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{sig['n']}_{(sig['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    )
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
         return root
@@ -2795,7 +2807,7 @@ feats AS (
   FROM toks GROUP BY 1, 2
 ),
 scored AS (
-  SELECT doc_id, sum(cnt) AS n_terms,
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_terms,
          sum(cnt * ((bucket % 997) / 997.0 - 0.5)) / sum(cnt) AS score
   FROM feats GROUP BY doc_id
 )
@@ -2828,7 +2840,7 @@ SQL_CLASSIFIER_KEPT_DOCS = f"""
 WITH {_CLS_CTES}
 SELECT d.doc_id, d.n_chars
 FROM documents d JOIN scored s ON d.doc_id = s.doc_id
-WHERE 1.0 / (1.0 + exp(-s.score)) >= 0.5
+WHERE round(1.0 / (1.0 + exp(-s.score)), 6) >= 0.5
 """
 
 

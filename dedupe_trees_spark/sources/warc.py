@@ -87,17 +87,22 @@ def warc_bytes(records: list[dict]) -> bytes:
                 b"Content-Length: " + str(len(body)).encode() + _HDR_END + body
             )
         ts = rec.get("warc_ts")
-        date = (
-            ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+        # NULL timestamps stay NULL through a write/read roundtrip: the
+        # WARC-Date header is simply omitted (read side maps a missing
+        # header back to NULL warc_ts) instead of fabricating a date.
+        date_hdr = (
+            b"WARC-Date: "
+            + ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+            + _CRLF
             if isinstance(ts, datetime)
-            else "2026-01-01T00:00:00Z"
+            else b""
         )
         wtype = rec.get("warc_type", "response")
         hdr = (
             b"WARC/1.0\r\n"
             + b"WARC-Type: " + wtype.encode() + _CRLF
             + b"WARC-Target-URI: " + rec["url"].encode() + _CRLF
-            + b"WARC-Date: " + date.encode() + _CRLF
+            + date_hdr
             + b"Content-Length: " + str(len(body)).encode() + _CRLF
             + _CRLF
         )
@@ -245,7 +250,17 @@ def write_pages_warc(
     )
     if files:
         cols = cols.repartition(files, F.xxhash64("url"))
+    # overwrite semantics (parity with the parquet/jsonl sinks'
+    # mode('overwrite')): clear stale part files NOW, driver-side, so a
+    # re-run with fewer shards never leaves old part-*.warc* mixed into
+    # the new export — a glob read over such a dir would yield
+    # duplicated/stale records. Eager by design; callers materialize
+    # the returned manifest immediately as the write action.
     os.makedirs(out_dir, exist_ok=True)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, "part-*.warc*")):
+        os.remove(stale)
     ext = ".warc.gz" if compress else ".warc"
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -32,8 +32,12 @@ def _canon_cell(v) -> str:
     if isinstance(v, Decimal):
         return f"{v.normalize():f}"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # STRICT: no float->int coercion. The driver's hash compare
+        # distinguishes DuckDB HUGEINT-via-.df() float64 `7.0` from
+        # Spark bigint `7` (round-4 verdict: domain_doc_stats et al.
+        # were driver-red while this checker printed OK because it
+        # canonicalized 7.0 -> "7"). The local replica must never be
+        # more permissive than the driver; dtype drift fails here first.
         return repr(v)
     if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
         seq = v.tolist() if hasattr(v, "tolist") else v
