@@ -116,6 +116,10 @@ def main() -> int:
         "classifier_scores",
         "span_scrubbed_docs",
         "warc_roundtrip",
+        "bpe_token_counts",
+        "pack_shards_bpe",
+        "temperature_resample_bpe",
+        "lang_id_classifier",
     ]
     qs = Q.QUERIES
     for name in bench_queries:

@@ -179,6 +179,7 @@ def temperature_resample(
     strata_col: str = "lang",
     alpha: float = 0.5,
     key_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based stratum rebalancing (multilingual-LM mixing).
 
@@ -205,7 +206,17 @@ def temperature_resample(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    # weight_col (e.g. a BPE token count, functions/bpe.py) switches the
+    # stratum mass from doc counts to TOKEN budgets — what a training
+    # mixture actually balances. Integer sums keep the c_min/c_s ratio
+    # an exact-int division, preserving the bit-reproducibility
+    # argument above; the sampling unit stays the whole doc.
+    mass = (
+        F.sum(F.col(weight_col).cast("long"))
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
+    counts = df.groupBy(strata_col).agg(mass.alias("_cnt"))
     cmin = counts.agg(F.min("_cnt").alias("_cmin"))
     ratio = F.col("_cmin") / F.col("_cnt")
     if alpha == 0.5:

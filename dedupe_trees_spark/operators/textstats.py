@@ -695,3 +695,98 @@ def quality_classifier_filter(
         return corpus.join(F.broadcast(dropped), id_col, "left_anti")
     keep = scores.filter(F.col("prob") >= threshold).select(id_col)
     return corpus.join(keep, id_col)
+
+
+def nb_lang_classifier(
+    corpus: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+) -> DataFrame:
+    """Multiclass Naive-Bayes language ID over hashed term features —
+    the classifier path (:func:`hashing_features` featurize, broadcast
+    model, argmax decode) wired into a REAL model with deterministic
+    in-engine training, demonstrating the end-to-end fastText-style
+    lang-id loop production pipelines run.
+
+    Training (multinomial NB, add-one smoothing in the hashed space):
+
+        weight(l, b) = ln(c_lb + 1) - ln(T_l + dim)
+        prior(l)     = ln(n_docs_l / n_docs)
+        score(d, l)  = prior(l) + sum_b cnt_db * weight(l, b)
+
+    decomposed so unseen (l, b) pairs need no materialized zero rows:
+    ``score = prior(l) - n_terms_d * ln(T_l + dim) + sum over SEEN
+    pairs of cnt * ln(c_lb + 1)`` — the pooled-UNK trick the
+    unigram-LM operator uses, applied per class.
+
+    Plan shape at 10^12 docs: the model is two broadcast relations —
+    (class summary: |langs| rows) and (seen (lang, bucket) weights:
+    ≤ |langs|·dim rows, ~3 MB at 100 langs × 4096 buckets). Featurize
+    is the one corpus-derived exchange (uniform (doc, bucket) key);
+    the seen-sum join is broadcast-inner (only pairs that exist), the
+    base term is a |langs|-way broadcast fan-out of the SLIM
+    (doc, n_terms) projection — never the corpus rows — and the argmax
+    is a row_number window over ≤ |langs| rows per doc on the uniform
+    doc key. At extreme |langs| the fan-out prunes to langs sharing a
+    bucket with the doc plus the globally-best base-only lang; at the
+    10-100 langs of real crawls the full fan-out is cheaper than the
+    prune. Scores round to 6 (house float-sum-order tolerance) BEFORE
+    the argmax so the winning class and its tie-break (lexicographic
+    smallest lang) are engine-portable.
+
+    Returns (id_col, pred_lang, score). Docs with no tokens have no
+    feature rows and are absent, matching the classifier family.
+    """
+    from pyspark.sql.window import Window
+
+    feats = hashing_features(
+        corpus.select(id_col, text_col), dim=dim, id_col=id_col, text_col=text_col
+    )
+    labels = corpus.select(id_col, F.col(label_col).alias("_lbl"))
+    lf = feats.join(labels, id_col)
+
+    bucket_counts = lf.groupBy("_lbl", "bucket").agg(F.sum("cnt").alias("_c"))
+    class_mass = bucket_counts.groupBy("_lbl").agg(F.sum("_c").alias("_T"))
+    doc_counts = labels.groupBy("_lbl").agg(F.count(F.lit(1)).alias("_nd"))
+    total_docs = labels.agg(F.count(F.lit(1)).alias("_N"))
+    class_summary = (
+        class_mass.join(doc_counts, "_lbl")
+        .crossJoin(F.broadcast(total_docs))
+        .select(
+            "_lbl",
+            (F.log(F.col("_nd").cast("double")) - F.log(F.col("_N").cast("double"))).alias("_prior"),
+            F.log((F.col("_T") + F.lit(dim)).cast("double")).alias("_logZ"),
+        )
+    )
+    seen = bucket_counts.select(
+        "_lbl", "bucket", F.log((F.col("_c") + 1).cast("double")).alias("_lw")
+    )
+
+    doc_terms = feats.groupBy(id_col).agg(F.sum("cnt").alias("_n_terms"))
+    seen_sums = (
+        feats.join(F.broadcast(seen), "bucket")
+        .groupBy(id_col, "_lbl")
+        .agg(F.sum(F.col("cnt") * F.col("_lw")).alias("_seen"))
+    )
+    scored = (
+        doc_terms.crossJoin(F.broadcast(class_summary))
+        .join(seen_sums, [id_col, "_lbl"], "left")
+        .select(
+            id_col,
+            "_lbl",
+            F.round(
+                F.col("_prior")
+                - F.col("_n_terms") * F.col("_logZ")
+                + F.coalesce(F.col("_seen"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("_lbl").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("_lbl").alias("pred_lang"), "score")
+    )

@@ -2856,3 +2856,220 @@ ORACLES.update(
         "classifier_kept_docs": SQL_CLASSIFIER_KEPT_DOCS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# BPE-faithful token counts (functions/bpe.py, r5)
+# --------------------------------------------------------------------------
+# Shard budgets and temperature weights should count subword tokens,
+# not whitespace words (round-4 verdict gap #5). The Spark side is the
+# Arrow-batched merge-loop UDF with a per-batch word cache; the oracle
+# runs the SAME merge table (shared MERGES constant, PII-style) as a
+# recursive CTE whose every level applies the minimum-rank applicable
+# merge with a left-to-right list_reduce fold. Equality here pins the
+# pre-tokenizer regex, the merge semantics, and the whitespace-run rule
+# across engines, end to end.
+
+
+def _bpe_oracle_prefix() -> str:
+    from dedupe_trees_spark.functions.bpe import bpe_count_sql_ctes
+
+    return f"""
+WITH RECURSIVE {bpe_count_sql_ctes()},
+per AS (
+  SELECT p.doc_id,
+         CASE WHEN regexp_matches(p.tok, '^[ \t\n\r]+$') THEN 1
+              ELSE w.bpe_n END AS c
+  FROM pretok p LEFT JOIN wcount w ON p.tok = w.w
+),
+bpe AS (
+  SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS bpe_tokens
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum(c) AS n FROM per GROUP BY doc_id) s
+    ON d.doc_id = s.doc_id
+)
+"""
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE subword token count next to the whitespace count —
+    the budget drift a whitespace-based packer carries is the delta."""
+    from dedupe_trees_spark.functions.bpe import bpe_token_count
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        bpe_token_count("text").alias("bpe_tokens"),
+        F.size(
+            F.expr(r"filter(split(text, ' '), x -> x != '')")
+        ).cast("long").alias("ws_tokens"),
+    )
+
+
+def _sql_bpe_token_counts() -> str:
+    return (
+        _bpe_oracle_prefix()
+        + """
+SELECT b.doc_id, b.bpe_tokens,
+       CAST(len(list_filter(string_split(d.text, ' '), x -> x != ''))
+            AS BIGINT) AS ws_tokens
+FROM bpe b JOIN documents d ON b.doc_id = d.doc_id
+"""
+    )
+
+
+def q_pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_shards over BPE counts: the two-phase distributed prefix
+    sum unchanged, budgets now tokenizer-faithful (token_col seam)."""
+    from dedupe_trees_spark.functions.bpe import bpe_token_count
+    from dedupe_trees_spark.operators.shards import pack_shards
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", bpe_token_count("text").alias("bpe_tokens"))
+    )
+    return pack_shards(
+        d, target_tokens=5000, id_col="doc_id", token_col="bpe_tokens"
+    )
+
+
+def _sql_pack_shards_bpe() -> str:
+    return (
+        _bpe_oracle_prefix()
+        + """
+, c AS (
+  SELECT doc_id, bpe_tokens AS n_tokens,
+         CAST(sum(bpe_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bpe_tokens
+           AS BIGINT) AS cum_before
+  FROM bpe
+)
+SELECT doc_id, n_tokens, cum_before,
+       CAST(cum_before // 5000 AS BIGINT) AS shard_id FROM c
+"""
+    )
+
+
+QUERIES.update(
+    {
+        "bpe_token_counts": q_bpe_token_counts,
+        "pack_shards_bpe": q_pack_shards_bpe,
+    }
+)
+ORACLES.update(
+    {
+        "bpe_token_counts": _sql_bpe_token_counts(),
+        "pack_shards_bpe": _sql_pack_shards_bpe(),
+    }
+)
+
+
+def q_temperature_resample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted temperature rebalancing: stratum mass = summed
+    BPE token budget (weight_col seam) instead of doc count — what a
+    training mixture actually balances. Same exact-int ratio + md5
+    predicate; kept-row set equality pins the weighted path."""
+    from dedupe_trees_spark.functions.bpe import bpe_token_count
+    from dedupe_trees_spark.operators.domains import temperature_resample
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", bpe_token_count("text").alias("bpe_tokens")
+    )
+    return temperature_resample(d, weight_col="bpe_tokens").select(
+        "doc_id", "lang"
+    )
+
+
+def _sql_temperature_resample_bpe() -> str:
+    return (
+        _bpe_oracle_prefix()
+        + """
+, c AS (
+  SELECT d.lang, CAST(sum(b.bpe_tokens) AS DOUBLE) AS cnt
+  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id GROUP BY d.lang
+), mn AS (SELECT min(cnt) AS cmin FROM c),
+f AS (
+  SELECT lang, sqrt((SELECT cmin FROM mn) / cnt) AS keep_f FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN f USING (lang)
+WHERE f.keep_f >= 1.0
+   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(floor(f.keep_f * 4294967296.0) AS BIGINT))
+"""
+    )
+
+
+QUERIES.update({"temperature_resample_bpe": q_temperature_resample_bpe})
+ORACLES.update({"temperature_resample_bpe": _sql_temperature_resample_bpe()})
+
+
+# --------------------------------------------------------------------------
+# Naive-Bayes language ID over the classifier path (r5)
+# --------------------------------------------------------------------------
+# The hashed-feature classifier path carrying a REAL multiclass model:
+# multinomial NB with add-one smoothing, trained deterministically
+# in-engine from the corpus's own lang labels, decode = argmax. The
+# oracle re-derives weights, priors, pooled-UNK base term, and the
+# rounded argmax from the same parquet — equality pins training AND
+# inference across engines.
+
+_NB_DIM = 4096
+
+
+def q_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-predict NB lang-id; accuracy vs the generator's labels
+    is pytested (tests/test_textstats.py::TestNbLangClassifier)."""
+    from dedupe_trees_spark.operators.textstats import nb_lang_classifier
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return nb_lang_classifier(d, dim=_NB_DIM)
+
+
+SQL_LANG_ID_CLASSIFIER = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {_NB_DIM} AS INT) AS bucket,
+         count(*) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+lab AS (SELECT doc_id, lang FROM documents),
+bc AS (
+  SELECT l.lang, f.bucket, sum(f.cnt) AS c
+  FROM feats f JOIN lab l USING (doc_id) GROUP BY 1, 2
+),
+cm AS (SELECT lang, sum(c) AS T FROM bc GROUP BY lang),
+dc AS (SELECT lang, count(*) AS nd FROM lab GROUP BY lang),
+n AS (SELECT count(*) AS N FROM lab),
+cs AS (
+  SELECT cm.lang,
+         ln(CAST(dc.nd AS DOUBLE)) - ln(CAST(n.N AS DOUBLE)) AS prior,
+         ln(CAST(cm.T + {_NB_DIM} AS DOUBLE)) AS logZ
+  FROM cm JOIN dc USING (lang) CROSS JOIN n
+),
+dt AS (SELECT doc_id, sum(cnt) AS n_terms FROM feats GROUP BY doc_id),
+ss AS (
+  SELECT f.doc_id, b.lang, sum(f.cnt * ln(CAST(b.c + 1 AS DOUBLE))) AS s
+  FROM feats f JOIN bc b ON f.bucket = b.bucket GROUP BY 1, 2
+),
+scored AS (
+  SELECT dt.doc_id, cs.lang,
+         round(cs.prior - dt.n_terms * cs.logZ + COALESCE(ss.s, 0.0), 6) AS score
+  FROM dt CROSS JOIN cs
+  LEFT JOIN ss ON ss.doc_id = dt.doc_id AND ss.lang = cs.lang
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, lang AS pred_lang, score FROM ranked WHERE rn = 1
+"""
+
+QUERIES.update({"lang_id_classifier": q_lang_id_classifier})
+ORACLES.update({"lang_id_classifier": SQL_LANG_ID_CLASSIFIER})
