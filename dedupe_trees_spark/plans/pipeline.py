@@ -107,7 +107,14 @@ def build_signatures(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
             F.regexp_extract("source", r"(\d+)$", 1).cast("int"),
         )
     df = df.withColumn("nid", node_id_expr(cfg.nid_bits))
-    df = df.withColumn("norm", normalize_text("text")).drop("text")
+    # NULL text (PAGES_SCHEMA allows it; real crawls produce it) folds
+    # to the empty document here — one JVM-side coalesce — so every
+    # downstream signature kernel sees a string. Empty docs get the
+    # constant empty-content hash and empty signature arrays: they
+    # dedup against each other exactly, generate no near-dup buckets.
+    df = df.withColumn(
+        "norm", F.coalesce(normalize_text("text"), F.lit(""))
+    ).drop("text")
     df = df.withColumn("content_hash", content_hash("norm")).withColumn(
         "n_chars", F.length("norm")
     )
@@ -158,7 +165,25 @@ def build_bucket_table(
     are byte-identical, so no verification prunes their edges and
     m−1 edges carry the component — same shape exact_edges() used
     as a standalone stage. ``bands_df`` lets the pipeline pass its
-    checkpointed band table; None derives bands inline."""
+    checkpointed band table; None derives bands inline.
+
+    Physical shape (round-5): when every bucket source derives from
+    the signatures row itself (``bands_df is None``, the default),
+    the build is ONE pass — a single primitive long-array concat in
+    a FIXED layout [content_hash | band hashes | simhash block keys
+    | winnow fps] and ONE posexplode, with band_id and src recovered
+    from the position by two int CASE chains. The previous 4-branch
+    union scanned the S1 checkpoint once per generator and ran four
+    separate codegen pipelines into the same exchange; at 16 M docs
+    the map-side build was 63% of the candidates kernel
+    (BENCH/BASELINE.md §16M profile), so the scan/codegen
+    multiplicity is the lever. The variable-length winnow-fp segment
+    sits LAST so every other segment's position range is a compile-
+    time constant; no struct boxing — posexplode walks an unsafe
+    long array. Emitted (nid, band_id, band_hash, src) rows are
+    value-identical to the union path (pytest-pinned)."""
+    if bands_df is None:
+        return _build_bucket_table_fused(sigs, cfg)
     bucket_frames = [
         sigs.select(
             "nid",
@@ -209,6 +234,58 @@ def build_bucket_table(
     for bfr in bucket_frames[1:]:
         fused = fused.unionByName(bfr)
     return fused
+
+
+def _build_bucket_table_fused(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Single-pass bucket build (see build_bucket_table docstring):
+    one long-array concat in a fixed layout, one posexplode, band_id
+    and src recovered from the position. Value-identical rows to the
+    union formulation — band hashes reuse the exact same expressions
+    (band_hash_array / simhash_block_keys), so resume compatibility
+    and the DuckDB oracles are unaffected."""
+    from dedupe_trees_spark.functions.minhash import band_hash_array
+    from dedupe_trees_spark.functions.simhash import simhash_block_keys
+
+    arrs = [F.array(F.col("content_hash"))]
+    pos = F.col("pos")
+    # (condition, band_id) in layout order; the matching src constant
+    # shares each condition so the two CASE chains stay in lockstep
+    conds: list[tuple] = [(pos == 0, F.lit(cfg.bands + 11), SRC_EXACT)]
+    nfixed = 1
+    if cfg.enable_minhash:
+        arrs.append(band_hash_array("minhash", cfg.bands, cfg.rows_per_band))
+        conds.append(
+            (pos <= nfixed + cfg.bands - 1, pos - nfixed, SRC_MINHASH)
+        )
+        nfixed += cfg.bands
+    if cfg.enable_simhash:
+        arrs.append(
+            simhash_block_keys("simhash", d=cfg.simhash_max_hamming)
+        )
+        # 10 probe tables (C(5,2) block pairs); table id t = pos - nfixed
+        conds.append(
+            (pos <= nfixed + 9, pos - nfixed + cfg.bands, SRC_SIMHASH)
+        )
+        nfixed += 10
+    if cfg.enable_substring:
+        # variable-length segment — MUST stay last so the fixed
+        # segments' position ranges are compile-time constants
+        arrs.append(F.array_distinct("substr_fp"))
+        conds.append((F.lit(True), F.lit(cfg.bands + 10), SRC_SUBSTR))
+
+    band_id = F.when(conds[0][0], conds[0][1])
+    src = F.when(conds[0][0], F.lit(conds[0][2]))
+    for c, bid, s in conds[1:]:
+        band_id = band_id.when(c, bid)
+        src = src.when(c, F.lit(s))
+    return sigs.select(
+        "nid", F.posexplode(F.concat(*arrs)).alias("pos", "band_hash")
+    ).select(
+        "nid",
+        band_id.cast("int").alias("band_id"),
+        "band_hash",
+        src.cast("int").alias("src"),
+    )
 
 
 def score_candidates(

@@ -155,3 +155,45 @@ def test_top_ngrams_take_ordered_and_partial_agg(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
     assert "Window" not in plan
+
+
+def test_fused_bucket_build_matches_union_and_is_single_scan(spark):
+    """Round-5 pairs-stage lever: the single-posexplode bucket build
+    must emit the exact row multiset of the 4-branch union (band
+    hashes reuse the same expressions, so this pins band_id/src
+    position arithmetic), and its plan must contain ONE scan of the
+    signatures relation and ONE Generate — the union shape re-scanned
+    S1 once per generator (63% of the 16M candidates kernel)."""
+    from dedupe_trees_spark.config import PipelineConfig
+    from dedupe_trees_spark.datagen import GenConfig, generate_pages
+    from dedupe_trees_spark.operators.lsh import explode_bands
+    from dedupe_trees_spark.plans.pipeline import (
+        _build_bucket_table_fused,
+        build_bucket_table,
+        build_signatures,
+    )
+
+    pages = generate_pages(spark, GenConfig(n_docs=400, seed=13))
+    cfg = PipelineConfig(input_path="x", ckpt_dir="/tmp/unused_fused_ck")
+    sigs = build_signatures(pages, cfg).cache()
+    try:
+        bands = explode_bands(
+            sigs, sig_col="minhash", id_col="nid",
+            bands=cfg.bands, rows=cfg.rows_per_band,
+        )
+        union_rows = sorted(
+            map(tuple, build_bucket_table(sigs, cfg, bands_df=bands).collect())
+        )
+        fused = _build_bucket_table_fused(sigs, cfg)
+        fused_rows = sorted(map(tuple, fused.collect()))
+        assert fused_rows == union_rows
+        assert len(fused_rows) > 400 * (cfg.bands + 11)
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate") == 1  # one posexplode, no union
+        assert "Union" not in plan
+        # default pipeline path (bands_df=None) routes to the fused build
+        routed = build_bucket_table(sigs, cfg, bands_df=None)
+        rplan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in rplan
+    finally:
+        sigs.unpersist()
