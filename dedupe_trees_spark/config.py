@@ -38,6 +38,14 @@ class PipelineConfig:
     # checkpoint costs a full write+read of 32 rows/doc every run
     # (~260 MB + ~13 s per 1M docs)
     checkpoint_bands: bool = False
+    # opt-in single-posexplode bucket build (one long-array concat +
+    # positional band_id/src decode) instead of the default 4-branch
+    # union. Interleaved A/B at 4M docs / 302M bucket rows (local[32],
+    # tools/bucket_build_ab.py): union median 41.4 s vs fused 68.4 s —
+    # the per-row concat + CASE decode loses to extra codegen branches
+    # on a columnar source. Kept for re-testing on real clusters where
+    # the branch-per-scan cost of remote parquet may flip the verdict.
+    fused_bucket_build: bool = False
     # storage/bandwidth: the corpus-wide shingle-set column is the largest
     # intermediate (≈2× the text bytes). False (default) = keep normalized
     # text in the signatures checkpoint instead and re-derive shingle sets
@@ -160,6 +168,13 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
         "signatures checkpoint instead of re-deriving sets at verify "
         "time for candidate-involved docs (only worth it on tiny "
         "corpora; see docs/SCALE.md crossover table)",
+    )
+    p.add_argument(
+        "--fused-bucket-build", action="store_true",
+        dest="fused_bucket_build",
+        help="single-posexplode bucket build instead of the default "
+        "4-branch union (union won the 4M local A/B; this may flip on "
+        "clusters scanning remote parquet once per branch)",
     )
     p.add_argument(
         "--resolve",

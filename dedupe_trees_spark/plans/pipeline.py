@@ -167,22 +167,24 @@ def build_bucket_table(
     as a standalone stage. ``bands_df`` lets the pipeline pass its
     checkpointed band table; None derives bands inline.
 
-    Physical shape (round-5): when every bucket source derives from
-    the signatures row itself (``bands_df is None``, the default),
-    the build is ONE pass — a single primitive long-array concat in
-    a FIXED layout [content_hash | band hashes | simhash block keys
-    | winnow fps] and ONE posexplode, with band_id and src recovered
-    from the position by two int CASE chains. The previous 4-branch
-    union scanned the S1 checkpoint once per generator and ran four
-    separate codegen pipelines into the same exchange; at 16 M docs
-    the map-side build was 63% of the candidates kernel
-    (BENCH/BASELINE.md §16M profile), so the scan/codegen
-    multiplicity is the lever. The variable-length winnow-fp segment
-    sits LAST so every other segment's position range is a compile-
-    time constant; no struct boxing — posexplode walks an unsafe
-    long array. Emitted (nid, band_id, band_hash, src) rows are
-    value-identical to the union path (pytest-pinned)."""
-    if bands_df is None:
+    Physical shape: two value-identical builds exist (pytest-pinned
+    equal). The DEFAULT is the 4-branch union below — each generator
+    is its own narrow codegen pipeline over the S1 scan into the
+    shared exchange. The alternative ``cfg.fused_bucket_build`` path
+    (_build_bucket_table_fused) concatenates all sources into one
+    long array and posexplodes once, recovering band_id/src from the
+    position with int CASE chains; it was built for round-4 verdict
+    item #3 (map-side build = 63% of the 16 M candidates kernel) on
+    the theory that scan multiplicity was the lever — but the
+    interleaved A/B at 4 M docs / 302 M bucket rows (local[32],
+    tools/bucket_build_ab.py) measured union medians 41.4 s vs fused
+    68.4 s: the per-row array concat + CASE-chain decode costs more
+    than the extra codegen branches over a cached/columnar source,
+    where each branch prunes to only the columns it explodes. Union
+    stays default; the fused path stays available for re-testing on
+    other substrates (a real cluster scanning remote parquet once
+    per branch may flip the verdict)."""
+    if bands_df is None and cfg.fused_bucket_build:
         return _build_bucket_table_fused(sigs, cfg)
     bucket_frames = [
         sigs.select(
@@ -225,7 +227,10 @@ def build_bucket_table(
             sigs.select(
                 "nid",
                 F.lit(cfg.bands + 10).alias("band_id"),
-                F.explode(F.array_distinct("substr_fp")).alias("band_hash"),
+                # substr_fp is distinct by construction (winnow_text_fps
+                # ends in np.unique; pytest-pinned) — no array_distinct,
+                # which would rebuild a per-row hash set over ~w elems
+                F.explode("substr_fp").alias("band_hash"),
                 F.lit(SRC_SUBSTR).alias("src"),
             )
         )
@@ -269,8 +274,9 @@ def _build_bucket_table_fused(sigs: DataFrame, cfg: PipelineConfig) -> DataFrame
         nfixed += 10
     if cfg.enable_substring:
         # variable-length segment — MUST stay last so the fixed
-        # segments' position ranges are compile-time constants
-        arrs.append(F.array_distinct("substr_fp"))
+        # segments' position ranges are compile-time constants.
+        # Distinct by construction (winnow_text_fps ends in np.unique).
+        arrs.append(F.col("substr_fp"))
         conds.append((F.lit(True), F.lit(cfg.bands + 10), SRC_SUBSTR))
 
     band_id = F.when(conds[0][0], conds[0][1])

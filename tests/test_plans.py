@@ -177,6 +177,12 @@ def test_fused_bucket_build_matches_union_and_is_single_scan(spark):
     cfg = PipelineConfig(input_path="x", ckpt_dir="/tmp/unused_fused_ck")
     sigs = build_signatures(pages, cfg).cache()
     try:
+        # both bucket paths explode substr_fp WITHOUT array_distinct —
+        # valid only while the signature UDF emits distinct fps
+        # (winnow_text_fps ends in np.unique); pin that invariant here
+        for row in sigs.select("substr_fp").limit(200).collect():
+            fps = row["substr_fp"]
+            assert len(fps) == len(set(fps))
         bands = explode_bands(
             sigs, sig_col="minhash", id_col="nid",
             bands=cfg.bands, rows=cfg.rows_per_band,
@@ -191,9 +197,18 @@ def test_fused_bucket_build_matches_union_and_is_single_scan(spark):
         plan = fused._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Generate") == 1  # one posexplode, no union
         assert "Union" not in plan
-        # default pipeline path (bands_df=None) routes to the fused build
-        routed = build_bucket_table(sigs, cfg, bands_df=None)
+        # bands_df=None routes to the fused build ONLY when the A/B'd
+        # opt-in flag is set (union won the 4M interleaved A/B:
+        # 41.4 s vs 68.4 s median — BENCH/BASELINE.md)
+        cfg_fused = PipelineConfig(
+            input_path="x", ckpt_dir="/tmp/unused_fused_ck",
+            fused_bucket_build=True,
+        )
+        routed = build_bucket_table(sigs, cfg_fused, bands_df=None)
         rplan = routed._jdf.queryExecution().executedPlan().toString()
         assert "Union" not in rplan
+        default_routed = build_bucket_table(sigs, cfg, bands_df=None)
+        dplan = default_routed._jdf.queryExecution().executedPlan().toString()
+        assert "Union" in dplan  # default = 4-branch union
     finally:
         sigs.unpersist()
