@@ -46,6 +46,17 @@ class PipelineConfig:
     # on a columnar source. Kept for re-testing on real clusters where
     # the branch-per-scan cost of remote parquet may flip the verdict.
     fused_bucket_build: bool = False
+    # opt-in sort-free candidate pass: replace the bucket window
+    # (WindowExec sorts every shuffle partition of the job's largest
+    # relation) with ONE collect_list hash aggregate + in-array salting
+    # (operators/lsh.py::candidate_pairs_hashagg — value-identical pair
+    # set, pytest-pinned). Off by default because the aggregation
+    # buffer grows with the largest bucket (the salted window bounds it
+    # at ~bucket_cap ids) — enable when the corpus' hot-bucket ceiling
+    # is known to fit executor memory. The pipeline raises Spark's
+    # ObjectHashAggregate sort-fallback threshold alongside its pairs
+    # partition tuner when this is on.
+    hashagg_candidates: bool = False
     # storage/bandwidth: the corpus-wide shingle-set column is the largest
     # intermediate (≈2× the text bytes). False (default) = keep normalized
     # text in the signatures checkpoint instead and re-derive shingle sets
@@ -175,6 +186,13 @@ def from_args(argv: list[str] | None = None) -> PipelineConfig:
         help="single-posexplode bucket build instead of the default "
         "4-branch union (union won the 4M local A/B; this may flip on "
         "clusters scanning remote parquet once per branch)",
+    )
+    p.add_argument(
+        "--hashagg-candidates", action="store_true",
+        dest="hashagg_candidates",
+        help="sort-free candidate pass (collect_list hash aggregate "
+        "instead of the bucket window; value-identical pairs). Use "
+        "when the hot-bucket ceiling is known to fit executor memory",
     )
     p.add_argument(
         "--resolve",

@@ -57,7 +57,12 @@ from dedupe_trees_spark.io import (
 )
 from dedupe_trees_spark.operators import resolve as R
 from dedupe_trees_spark.operators.components import assign_components
-from dedupe_trees_spark.operators.lsh import candidate_pairs, explode_bands, jaccard_expr
+from dedupe_trees_spark.operators.lsh import (
+    candidate_pairs,
+    candidate_pairs_hashagg,
+    explode_bands,
+    jaccard_expr,
+)
 from dedupe_trees_spark.plans.lineage import record_stage
 
 STAGES = ["signatures", "bands", "pairs", "components", "canonical"]
@@ -505,7 +510,10 @@ class DedupePipeline:
         # url_a/url_b column names are the pair-plumbing convention; from
         # here on they carry compact nids, not url strings
         fused = self._bucket_table(sigs)
-        cands = candidate_pairs(
+        cand_fn = (
+            candidate_pairs_hashagg if cfg.hashagg_candidates else candidate_pairs
+        )
+        cands = cand_fn(
             fused, id_col="nid", cap=cfg.bucket_cap, star_srcs=self.SRC_EXACT
         )
         # cands feeds the edge assembly AND the candidate-nid list for
@@ -800,6 +808,13 @@ class DedupePipeline:
                     self.spark.conf.set(
                         "spark.sql.shuffle.partitions", base_parts
                     )
+                    prev_fb = getattr(self, "_hashagg_prev_fallback", None)
+                    if prev_fb is not None:
+                        self.spark.conf.set(
+                            "spark.sql.objectHashAggregate.sortBased"
+                            ".fallbackThreshold",
+                            prev_fb,
+                        )
             if stage == "signatures" and self.cfg.audit_ids:
                 self._audit_ids()
                 mark(self.cfg.ckpt_dir, stage, "_AUDITED")
@@ -867,8 +882,33 @@ class DedupePipeline:
             base = int(base_parts)
         except (TypeError, ValueError):
             base = self.spark.sparkContext.defaultParallelism
-        parts = min(max(base, est_rows // 2_000_000), 4096)
+        # hash-agg candidates hold one list-buffer map entry per group —
+        # at the ~1 group/row key distribution of a bucket table, a 2 M-row
+        # partition is a 2 M-entry object map (×2: adjacent partial+final),
+        # which measured as a GC collapse at 4 M docs/34 g heap. 500 k rows
+        # per partition keeps the per-task map in the hundreds of MB; the
+        # window build keeps the coarser 2 M target (binary sort buffers,
+        # no per-group objects).
+        rows_per_part = 500_000 if cfg.hashagg_candidates else 2_000_000
+        parts = min(max(base, est_rows // rows_per_part), 4096)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        if cfg.hashagg_candidates:
+            # the sort-free candidate pass only stays sort-free if the
+            # ObjectHashAggregate never falls back (default threshold:
+            # 128 hash-map entries — i.e. always, for a bucket table).
+            # Size the bound to the per-task group count (~1 group per
+            # bucket row at singleton-dominated key distributions) with
+            # 2× headroom; restored with shuffle.partitions in the
+            # stage's finally.
+            self._hashagg_prev_fallback = self.spark.conf.get(
+                "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "128",
+            )
+            per_task = max(est_rows // parts, 1) * 2
+            self.spark.conf.set(
+                "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                str(per_task),
+            )
 
     def _measured_substr_density(self) -> float:
         """Winnow fingerprints/doc for the bucket-row estimate, measured

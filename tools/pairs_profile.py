@@ -24,7 +24,7 @@ Usage:
   python tools/pairs_profile.py gen N INPUT_DIR [seed]
   python tools/pairs_profile.py full INPUT CKPT [SCRATCH] [CORES] [HEAP]
   python tools/pairs_profile.py pairs INPUT CKPT [SCRATCH] [CORES] [HEAP]
-  python tools/pairs_profile.py kernels CKPT [CORES] [HEAP]
+  python tools/pairs_profile.py kernels CKPT [CORES] [HEAP] [window|hashagg]
 
 Each prints one JSON line (plus run_dedupe's own summary line).
 """
@@ -97,17 +97,23 @@ def cmd_pairs(inp: str, ckpt: str, scratch: str | None, cores: str, heap: str) -
             "heap": heap, "result": res}
 
 
-def cmd_kernels(ckpt: str, cores: str, heap: str) -> dict:
+def cmd_kernels(ckpt: str, cores: str, heap: str, mode: str = "window") -> dict:
     os.environ.update({k: v for k, v in _env(cores, heap).items()
                        if k.startswith("SPARK_GRAFT")})
     from dedupe_trees_spark.config import PipelineConfig
     from dedupe_trees_spark.io import read_stage
-    from dedupe_trees_spark.operators.lsh import candidate_pairs
+    from dedupe_trees_spark.operators.lsh import (
+        candidate_pairs,
+        candidate_pairs_hashagg,
+    )
     from dedupe_trees_spark.plans.pipeline import DedupePipeline
     from dedupe_trees_spark.session import get_spark
 
     spark = get_spark("pairs_kernels", master=f"local[{cores}]")
-    cfg = PipelineConfig(input_path="unused", ckpt_dir=ckpt)
+    cfg = PipelineConfig(
+        input_path="unused", ckpt_dir=ckpt,
+        hashagg_candidates=(mode == "hashagg"),
+    )
     pipe = DedupePipeline(spark, cfg)
     base_parts = spark.conf.get("spark.sql.shuffle.partitions")
     pipe._tune_shuffle_for_pairs(base_parts)
@@ -125,13 +131,14 @@ def cmd_kernels(ckpt: str, cores: str, heap: str) -> dict:
     fused = pipe._bucket_table(sigs)
     bucket_build_sec = noop(fused)
     n_bucket_rows = fused.count()
-    cands = candidate_pairs(
+    cand_fn = candidate_pairs_hashagg if mode == "hashagg" else candidate_pairs
+    cands = cand_fn(
         fused, id_col="nid", cap=cfg.bucket_cap, star_srcs=pipe.SRC_EXACT
     )
     cand_sec = noop(cands)
     spark.conf.set("spark.sql.shuffle.partitions", base_parts)
     return {
-        "op": "kernels", "cores": cores, "heap": heap,
+        "op": "kernels", "mode": mode, "cores": cores, "heap": heap,
         "shuffle_partitions": tuned_parts,
         "bucket_rows": n_bucket_rows,
         "bucket_build_noop_sec": bucket_build_sec,
@@ -152,7 +159,12 @@ def main() -> int:
         heap = a[4] if len(a) > 4 else "34g"
         out = (cmd_full if op == "full" else cmd_pairs)(inp, ckpt, scratch, cores, heap)
     elif op == "kernels":
-        out = cmd_kernels(a[0], a[1] if len(a) > 1 else "32", a[2] if len(a) > 2 else "34g")
+        out = cmd_kernels(
+            a[0],
+            a[1] if len(a) > 1 else "32",
+            a[2] if len(a) > 2 else "34g",
+            a[3] if len(a) > 3 else "window",
+        )
     else:
         raise SystemExit(f"unknown op {op!r}")
     print(json.dumps(out))
