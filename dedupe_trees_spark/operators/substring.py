@@ -71,28 +71,69 @@ def winnow_udf(w: int):
 
 _RB_BASE = np.uint64(0x100000001B3)     # FNV-ish odd multiplier
 _RB_MIX = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 finalizer constant
+# B is odd, hence invertible mod 2^64 — the O(n) prefix formulation below
+# divides by B^i via multiplication with this inverse (wraparound uint64
+# arithmetic IS arithmetic mod 2^64, so the values are exact)
+_RB_BASE_INV = np.uint64(pow(int(_RB_BASE), -1, 1 << 64))
+
+# power tables for the O(n) rolling hash, grown on demand per process:
+# _pows(k, n)[0][i] = B^(k-1+i), [1][i] = B^-i  (both mod 2^64)
+_POW_CACHE: dict = {}
 
 
-def _rolling_gram_hashes(data: bytes, k: int) -> np.ndarray:
-    """Stride-1 k-byte rolling hashes of a byte string, vectorized.
+def _pows(k: int, n: int) -> tuple[np.ndarray, np.ndarray]:
+    cached = _POW_CACHE.get(k)
+    if cached is None or len(cached[1]) < n + 1:
+        size = max(n + 1, 1024)
+        binv = np.empty(size, dtype=np.uint64)
+        binv[0] = 1
+        np.cumprod(np.full(size - 1, _RB_BASE_INV, dtype=np.uint64), out=binv[1:])
+        bpow = np.empty(size, dtype=np.uint64)
+        bpow[0] = np.uint64(pow(int(_RB_BASE), k - 1, 1 << 64))
+        np.cumprod(np.full(size - 1, _RB_BASE, dtype=np.uint64), out=bpow[1:])
+        bpow[1:] *= bpow[0]
+        cached = (bpow, binv)
+        _POW_CACHE[k] = cached
+    return cached
 
-    k passes of vector ops (h = h*B + byte) over the window starts, then
-    a murmur-style finalizer so equal windows — and only equal windows,
-    w.h.p. — share a hash. Byte-level, so it is agnostic to UTF-8.
-    """
-    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    n = len(b)
-    if n < k:
-        b = np.pad(b, (0, k - n), constant_values=0)
-        n = k
-    m = n - k + 1
-    h = np.zeros(m, dtype=np.uint64)
-    for j in range(k):
-        h = h * _RB_BASE + b[j : j + m]
+
+def _finalize_hashes(h: np.ndarray) -> np.ndarray:
     h ^= h >> np.uint64(33)
     h *= _RB_MIX
     h ^= h >> np.uint64(29)
     return h
+
+
+def _rolling_hash_core(vals: np.ndarray, k: int) -> np.ndarray:
+    """Stride-1 k-window polynomial hashes of a uint64 value array in
+    O(n) — value-identical to the k-pass formulation (pytest-pinned):
+
+        h[i] = sum_j vals[i+j] * B^(k-1-j)          (mod 2^64)
+             = (P[i+k] - P[i]) * B^(k-1+i)   with   P[i] = sum_{t<i} vals[t] * B^-t
+
+    Two cumulative passes + one multiply replace k vector passes — the
+    win grows with k (the exact-64-gram path went from 64 passes to ~4).
+    """
+    n = len(vals)
+    m = n - k + 1
+    bpow, binv = _pows(k, n)
+    P = np.empty(n + 1, dtype=np.uint64)
+    P[0] = 0
+    np.cumsum(vals * binv[:n], out=P[1:])
+    h = (P[k:] - P[:m]) * bpow[:m]
+    return _finalize_hashes(h)
+
+
+def _rolling_gram_hashes(data: bytes, k: int) -> np.ndarray:
+    """Stride-1 k-byte rolling hashes of a byte string (O(n), see
+    ``_rolling_hash_core``), murmur-finalized so equal windows — and
+    only equal windows, w.h.p. — share a hash. Byte-level, so it is
+    agnostic to UTF-8."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n < k:
+        b = np.pad(b, (0, k - n), constant_values=0)
+    return _rolling_hash_core(b, k)
 
 
 def winnow_text_fps(texts: pd.Series, k: int, w: int) -> pd.Series:
@@ -129,12 +170,18 @@ def winnow_text_udf(k: int, w: int):
 
 
 def _pairs_from_gram_sets(
-    df: DataFrame, grams_col, id_col: str, cap: int
+    df: DataFrame, grams_col, id_col: str, cap: int, grams_distinct: bool = False
 ) -> DataFrame:
-    """(id, array<gram_hash>) → distinct candidate pairs via bucket join."""
+    """(id, array<gram_hash>) → distinct candidate pairs via bucket join.
+
+    ``grams_distinct=True`` skips the per-row ``array_distinct`` when the
+    producer already guarantees it (every np.unique-built fingerprint
+    array — the winnow and stride-1 UDFs), saving a per-row hash-set
+    rebuild over the fattest column of the explode."""
+    arr = grams_col if grams_distinct else F.array_distinct(grams_col)
     buckets = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(grams_col)).alias("band_hash"),
+        F.explode(arr).alias("band_hash"),
     ).withColumn("band_id", F.lit(0))
     return candidate_pairs(buckets, id_col=id_col, cap=cap)
 
@@ -142,8 +189,52 @@ def _pairs_from_gram_sets(
 def substring_pairs_exact(
     df: DataFrame, id_col: str = "url", text_col: str = "text", k: int = 64, cap: int = 256
 ) -> DataFrame:
-    """Pairs sharing ≥1 exact k-char substring (stride-1 both sides)."""
-    return _pairs_from_gram_sets(df, gram_hashes(text_col, k), id_col, cap)
+    """Pairs sharing ≥1 exact k-char substring (stride-1 both sides).
+
+    Gram hashes come from the O(n) prefix rolling hash over code points
+    (``stride1_cp_hash_udf``) rather than the JVM ``char_ngrams`` +
+    xxhash64 chain: materializing every k-char substring JVM-side costs
+    ~k× the text volume in string churn (the same measured effect the
+    winnow path's docstring records), while the UDF ships the text
+    bytes to Python once and computes all window hashes in ~4 fused
+    NumPy passes. 64-bit hash equality stands in for string equality
+    either way (w.h.p. — identical to the xxhash64 variant's
+    guarantee), so the emitted pair set is unchanged."""
+    fps = df.select(
+        F.col(id_col), stride1_cp_hash_udf(k)(F.col(text_col)).alias("_fp")
+    )
+    return _pairs_from_gram_sets(
+        fps, F.col("_fp"), id_col, cap, grams_distinct=True
+    )
+
+
+def _attach_pair_texts(
+    cands: DataFrame, df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Candidate pairs → (url_a, url_b, _ta, _tb) with BOTH texts.
+
+    The candidate relation is ~16 bytes/row, so AQE's byte-based
+    coalescing collapses it to one or two post-shuffle partitions —
+    correct for a relational consumer, catastrophic for the pandas
+    kernels downstream (the whole suffix-array stage then runs on one
+    core). Repartition to a core-proportional count (derived from
+    ``defaultParallelism``, never a constant — scale-adaptive per the
+    cluster) BEFORE the text joins; the broadcast joins preserve the
+    partitioning into the Python stage."""
+    n_parts = 2 * cands.sparkSession.sparkContext.defaultParallelism
+    texts = df.select(F.col(id_col), F.col(text_col))
+    return (
+        cands.select("url_a", "url_b")
+        .repartition(n_parts, "url_a", "url_b")
+        .join(
+            texts.select(F.col(id_col).alias("url_a"), F.col(text_col).alias("_ta")),
+            "url_a",
+        )
+        .join(
+            texts.select(F.col(id_col).alias("url_b"), F.col(text_col).alias("_tb")),
+            "url_b",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -228,10 +319,28 @@ def _lcs_two(a_cp: np.ndarray, b_cp: np.ndarray) -> int:
     return int(_lcp_batch(levels, I[cross], J[cross], n).max())
 
 
-def lcs_run_udf():
+def lcs_run_udf(min_run: int | None = None):
     """(text_a, text_b) → longest shared substring length, in CHARACTERS
     (utf-32 code points, matching SQL substr/length semantics). Arrow-
-    batched; per pair the work is NumPy suffix-array doubling."""
+    batched; per pair the work is NumPy suffix-array doubling.
+
+    ``min_run``: callers that FILTER the result at ``>= min_run`` (the
+    extent/containment family) pass it so sub-threshold pairs can take
+    the rolling-hash certain-negative gate (``_quick_may_share_run`` —
+    same guarantee as the span kernel's gate) and return 0 instead of
+    paying the GSA build. On the winnow candidate sets only ~2% of
+    pairs actually share a >= 64-char run (measured at sf1.0: 2,471
+    true pairs of 149,875 candidates), so the gate removes ~98% of the
+    suffix-array work; gated pairs report 0, which the caller's filter
+    drops either way — emitted rows are identical.
+
+    The returned UDF is marked non-deterministic: the caller's
+    ``max_run >= min_run`` filter otherwise makes Catalyst evaluate the
+    UDF twice (once under the pushed filter, once in the projection —
+    two ArrowEvalPython nodes, guide-documented behaviour), doubling
+    the dominant per-pair kernel. The function is pure, so blocking
+    reorder/duplication cannot change emitted rows."""
+    use_gate = min_run is not None and min_run >= 16
 
     @F.pandas_udf(T.LongType())
     def _lcs(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -241,10 +350,15 @@ def lcs_run_udf():
                 continue
             ac = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
             bc = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+            if use_gate:
+                if len(ac) < min_run or len(bc) < min_run:
+                    continue
+                if not _quick_may_share_run(ac, bc, min_run):
+                    continue
             out[idx] = _lcs_two(ac, bc)
         return pd.Series(out)
 
-    return _lcs
+    return _lcs.asNondeterministic()
 
 
 def substring_extent_pairs(
@@ -275,20 +389,13 @@ def substring_extent_pairs(
     fps = df.select(
         F.col(id_col), winnow_text_udf(k, w)(F.col(text_col)).alias("_fp")
     )
-    cands = _pairs_from_gram_sets(fps, F.col("_fp"), id_col, cap)
-    texts = df.select(F.col(id_col), F.col(text_col))
-    joined = (
-        cands.select("url_a", "url_b")
-        .join(
-            texts.select(F.col(id_col).alias("url_a"), F.col(text_col).alias("_ta")),
-            "url_a",
-        )
-        .join(
-            texts.select(F.col(id_col).alias("url_b"), F.col(text_col).alias("_tb")),
-            "url_b",
-        )
+    cands = _pairs_from_gram_sets(
+        fps, F.col("_fp"), id_col, cap, grams_distinct=True
     )
-    out = joined.withColumn("max_run", lcs_run_udf()(F.col("_ta"), F.col("_tb")))
+    joined = _attach_pair_texts(cands, df, id_col, text_col)
+    out = joined.withColumn(
+        "max_run", lcs_run_udf(min_run)(F.col("_ta"), F.col("_tb"))
+    )
     return out.filter(F.col("max_run") >= min_run).select(
         "url_a", "url_b", "max_run",
         F.length("_ta").alias("len_a"), F.length("_tb").alias("len_b"),
@@ -424,17 +531,33 @@ def _merge_intervals(s: np.ndarray, e: np.ndarray) -> np.ndarray:
 
 def _rolling_cp_hashes(cp: np.ndarray, k: int) -> np.ndarray:
     """Stride-1 k-code-point rolling hashes (uint64 wraparound), the
-    code-point twin of ``_rolling_gram_hashes`` — k vector passes over
-    the window starts. Caller guarantees ``len(cp) >= k``."""
-    c = cp.astype(np.uint64)
-    m = len(c) - k + 1
-    h = np.zeros(m, dtype=np.uint64)
-    for j in range(k):
-        h = h * _RB_BASE + c[j : j + m]
-    h ^= h >> np.uint64(33)
-    h *= _RB_MIX
-    h ^= h >> np.uint64(29)
-    return h
+    code-point twin of ``_rolling_gram_hashes`` — O(n) via
+    ``_rolling_hash_core`` (value-identical to the previous k-pass
+    formulation). Caller guarantees ``len(cp) >= k``."""
+    return _rolling_hash_core(cp.astype(np.uint64), k)
+
+
+def stride1_cp_hash_udf(k: int):
+    """text → DISTINCT stride-1 k-char (code-point) window hashes as
+    array<bigint> — the exact-substring gram representation
+    (``substring_pairs_exact``). utf-32 code points match SQL
+    substr/length semantics; texts shorter than k yield an empty array
+    (they cannot contain a k-char substring), mirroring the JVM
+    ``char_ngrams`` contract."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _grams(texts: pd.Series) -> pd.Series:
+        out = []
+        empty = np.empty(0, dtype=np.int64)
+        for t in texts:
+            if not t or len(t) < k:
+                out.append(empty)
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            out.append(np.unique(_rolling_cp_hashes(cp, k)).view(np.int64))
+        return pd.Series(out)
+
+    return _grams
 
 
 def _quick_may_share_run(
@@ -480,7 +603,11 @@ def victim_spans_udf(min_run: int):
             out.append(_victim_cover(ac, bc, min_run).reshape(-1).tolist())
         return pd.Series(out)
 
-    return _spans
+    # non-deterministic marking: the caller filters on size(_iv) > 0,
+    # which otherwise duplicates the whole GSA kernel into a second
+    # ArrowEvalPython below the pushed filter (pure function — blocking
+    # reorder/duplication cannot change emitted rows)
+    return _spans.asNondeterministic()
 
 
 def scrub_spans_udf():
@@ -548,19 +675,11 @@ def span_scrub(
     fps = df.select(
         F.col(id_col), winnow_text_udf(k, w)(F.col(text_col)).alias("_fp")
     )
-    cands = _pairs_from_gram_sets(fps, F.col("_fp"), id_col, cap)
-    texts = df.select(F.col(id_col), F.col(text_col))
-    joined = (
-        cands.select("url_a", "url_b")
-        .join(
-            texts.select(F.col(id_col).alias("url_a"), F.col(text_col).alias("_ta")),
-            "url_a",
-        )
-        .join(
-            texts.select(F.col(id_col).alias("url_b"), F.col(text_col).alias("_tb")),
-            "url_b",
-        )
+    cands = _pairs_from_gram_sets(
+        fps, F.col("_fp"), id_col, cap, grams_distinct=True
     )
+    texts = df.select(F.col(id_col), F.col(text_col))
+    joined = _attach_pair_texts(cands, df, id_col, text_col)
     iv = joined.select(
         F.col("url_b").alias("_vid"),
         victim_spans_udf(min_run)(F.col("_ta"), F.col("_tb")).alias("_iv"),
@@ -596,4 +715,6 @@ def substring_pairs_winnow(
     fps = df.select(
         F.col(id_col), winnow_text_udf(k, w)(F.col(text_col)).alias("_fp")
     )
-    return _pairs_from_gram_sets(fps, F.col("_fp"), id_col, cap)
+    return _pairs_from_gram_sets(
+        fps, F.col("_fp"), id_col, cap, grams_distinct=True
+    )

@@ -31,6 +31,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute a multiply-consumed intermediate ONCE (lazy
+    localCheckpoint): self-joins and size/score join-backs otherwise
+    replicate the producing subtree per consumer — the capped-gram core
+    re-ran its scan + shingle UDF 8× per query (plan-verified, r06).
+    localCheckpoint (not persist) on purpose: blocks belong to this
+    DataFrame object only, so nothing is shared across separately-built
+    queries — every bench/oracle invocation still computes from the
+    parquet inputs. Lazy (eager=False), so construction stays free and
+    the materialization happens inside the timed action."""
+    return df.localCheckpoint(eager=False)
+
+
 def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver `documents` fixture into the pages shape
     (BASELINE.json input_hint) with deterministic lineage columns.
@@ -382,8 +395,12 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
     from dedupe_trees_spark.functions.minhash import shingle_set_udf
     from dedupe_trees_spark.functions.text import token_hashes
 
-    return load(spark, sf_dir, "documents").select(
-        "doc_id", shingle_set_udf(k)(token_hashes("text")).alias("shingles")
+    # consumers fan out (signature + bands + verify sides) — compute the
+    # shingle UDF once per query instead of once per consumer subtree
+    return _materialize(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", shingle_set_udf(k)(token_hashes("text")).alias("shingles")
+        )
     )
 
 
@@ -409,14 +426,19 @@ def _capped_gram_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     task before dropping it — the exact skew this cap exists to guard —
     while groupBy gets map-side partial aggregation."""
     sets = _doc_shingle_sets(spark, sf_dir)
-    all_grams = sets.select("doc_id", F.explode("shingles").alias("g"))
+    # all_grams feeds the DF count AND the capped index; exploded feeds
+    # sizes and BOTH self-join sides — materialize each once (r06:
+    # the un-materialized plan carried 8 copies of scan+shingle-UDF)
+    all_grams = _materialize(
+        sets.select("doc_id", F.explode("shingles").alias("g"))
+    )
     rare = (
         all_grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("gram_df"))
         .filter(F.col("gram_df") <= NGRAM_DF_CAP)
         .select("g")
     )
-    exploded = all_grams.join(rare, "g")
+    exploded = _materialize(all_grams.join(rare, "g"))
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
@@ -615,10 +637,14 @@ def q_dedup_canonical_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedupe_trees_spark.functions.text import token_hashes
 
     pages = documents_as_pages(spark, sf_dir)
-    sets = pages.select(
-        "url", "doc_id", "source_order",
-        F.xxhash64("text").alias("content_hash"),
-        shingle_set_udf(3)(token_hashes("text")).alias("shingles"),
+    # sets fans out into exact edges, signatures, verify and resolve —
+    # one shingle-UDF pass instead of one per consumer subtree
+    sets = _materialize(
+        pages.select(
+            "url", "doc_id", "source_order",
+            F.xxhash64("text").alias("content_hash"),
+            shingle_set_udf(3)(token_hashes("text")).alias("shingles"),
+        )
     )
     exact = exact_edges(sets, id_col="url", hash_col="content_hash")
     sigs = add_signature(sets, num_perm=128, seed=42)

@@ -288,3 +288,81 @@ def test_span_scrub_whole_doc_covered(spark):
     assert rows[0]["url"] == "u2"
     assert rows[0]["clean_text"] == ""
     assert rows[0]["removed_chars"] == len(shared)
+
+
+def test_rolling_hash_core_matches_kpass_formulation():
+    """r06: the O(n) prefix rolling hash (_rolling_hash_core) must be
+    value-identical to the original k-pass polynomial formulation —
+    winnow fingerprints, the LCS gate, and the stride-1 exact grams all
+    key off these values, so a drift would silently change candidate
+    sets."""
+    from dedupe_trees_spark.operators.substring import (
+        _RB_BASE,
+        _RB_MIX,
+        _rolling_gram_hashes,
+        _rolling_hash_core,
+    )
+
+    def kpass(vals, k):
+        c = vals.astype(np.uint64)
+        m = len(c) - k + 1
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            h = h * _RB_BASE + c[j : j + m]
+        h ^= h >> np.uint64(33)
+        h *= _RB_MIX
+        h ^= h >> np.uint64(29)
+        return h
+
+    rng = np.random.default_rng(7)
+    for k in (8, 24, 57, 64):
+        for n in (k, k + 1, 333, 4096):
+            v = rng.integers(0, 2**32, size=n, dtype=np.uint64)
+            assert np.array_equal(_rolling_hash_core(v, k), kpass(v, k)), (k, n)
+    # byte path including the short-input zero pad
+    for data in (b"", b"ab", b"repeated words " * 30):
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        if len(b) < 24:
+            b = np.pad(b, (0, 24 - len(b)), constant_values=0)
+        assert np.array_equal(_rolling_gram_hashes(data, 24), kpass(b, 24))
+
+
+def test_lcs_udf_gate_preserves_filtered_pairs(spark):
+    """r06: lcs_run_udf(min_run) takes the certain-negative gate; the
+    extent operator's emitted pairs and exact run lengths must be
+    unchanged vs the brute-force LCS for every pair."""
+    from dedupe_trees_spark.operators.substring import substring_extent_pairs
+
+    docs = generate_pages(spark, GenConfig(n_docs=300, seed=11)).select(
+        "url", "text"
+    )
+    got = {
+        (r["url_a"], r["url_b"]): r["max_run"]
+        for r in substring_extent_pairs(
+            docs, min_run=64, k=24, cap=256
+        ).collect()
+    }
+    assert got, "fixture must contain qualifying pairs"
+    texts = {r["url"]: r["text"] for r in docs.collect()}
+
+    def brute_lcs(a, b):
+        best = 0
+        # restrict to candidate anchors for speed: all 64-gram matches
+        grams_b = {b[i : i + 64] for i in range(len(b) - 63)}
+        for i in range(len(a) - 63):
+            if a[i : i + 64] in grams_b:
+                # extend greedily from this anchor
+                for j in range(len(b) - 63):
+                    if b[j : j + 64] == a[i : i + 64]:
+                        ln = 64
+                        while (
+                            i + ln < len(a)
+                            and j + ln < len(b)
+                            and a[i + ln] == b[j + ln]
+                        ):
+                            ln += 1
+                        best = max(best, ln)
+        return best
+
+    for (ua, ub), run in got.items():
+        assert run == brute_lcs(texts[ua], texts[ub]), (ua, ub)
