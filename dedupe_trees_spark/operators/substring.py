@@ -166,7 +166,10 @@ def winnow_text_udf(k: int, w: int):
     def _winnow_text(texts: pd.Series) -> pd.Series:
         return winnow_text_fps(texts, k, w)
 
-    return _winnow_text
+    # pure function; non-deterministic marking stops Catalyst from
+    # duplicating it below the explode's implicit size>0 filter (the
+    # r06 plan showed two ArrowEvalPython nodes for one winnow call)
+    return _winnow_text.asNondeterministic()
 
 
 def _pairs_from_gram_sets(
@@ -223,15 +226,39 @@ def _attach_pair_texts(
     partitioning into the Python stage."""
     n_parts = 2 * cands.sparkSession.sparkContext.defaultParallelism
     texts = df.select(F.col(id_col), F.col(text_col))
+    # broadcast the TEXT side explicitly: left to its estimates Catalyst
+    # broadcasts the (even smaller) candidate relation instead, which
+    # makes the join stream the text SCAN — and the scan's partition
+    # count (1-2 at fixture sizes) then serializes the Python kernel
+    # stage. With texts as build side the stream side is the
+    # repartitioned candidate relation, so the kernels inherit its
+    # core-proportional partitioning.
+    #
+    # ROUND-ROBIN repartition on purpose: a keyed repartition on
+    # (url_a, url_b) is elided as redundant against the pair-dedup's
+    # ENSURE_REQUIREMENTS exchange on the same keys, whose ~16-byte/row
+    # output AQE then coalesces to ONE partition (plan-verified, r06) —
+    # serializing every pandas kernel downstream. Round-robin with an
+    # explicit count survives both rules; its sort-before-repartition
+    # cost is trivial at candidate-pair cardinality, and the pair set
+    # is already distinct so placement cannot affect results.
     return (
         cands.select("url_a", "url_b")
-        .repartition(n_parts, "url_a", "url_b")
+        .repartition(n_parts)
         .join(
-            texts.select(F.col(id_col).alias("url_a"), F.col(text_col).alias("_ta")),
+            F.broadcast(
+                texts.select(
+                    F.col(id_col).alias("url_a"), F.col(text_col).alias("_ta")
+                )
+            ),
             "url_a",
         )
         .join(
-            texts.select(F.col(id_col).alias("url_b"), F.col(text_col).alias("_tb")),
+            F.broadcast(
+                texts.select(
+                    F.col(id_col).alias("url_b"), F.col(text_col).alias("_tb")
+                )
+            ),
             "url_b",
         )
     )
@@ -557,7 +584,9 @@ def stride1_cp_hash_udf(k: int):
             out.append(np.unique(_rolling_cp_hashes(cp, k)).view(np.int64))
         return pd.Series(out)
 
-    return _grams
+    # pure; see winnow_text_udf on why non-deterministic marking is the
+    # single-evaluation guard for explode consumers
+    return _grams.asNondeterministic()
 
 
 def _quick_may_share_run(
@@ -685,8 +714,13 @@ def span_scrub(
         victim_spans_udf(min_run)(F.col("_ta"), F.col("_tb")).alias("_iv"),
     ).filter(F.size("_iv") > 0)
     per_doc = iv.groupBy("_vid").agg(F.flatten(F.collect_list("_iv")).alias("_ivs"))
+    # broadcast the text side (same rationale as _attach_pair_texts):
+    # per_doc must stay the stream side so the splice UDF inherits its
+    # aggregation partitioning instead of the text scan's 1-2 partitions
     out = per_doc.join(
-        texts.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_t")),
+        F.broadcast(
+            texts.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_t"))
+        ),
         "_vid",
     )
     res = out.select(
