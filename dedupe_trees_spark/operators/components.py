@@ -33,6 +33,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# stars may broadcast their per-node min relation below this edge count
+# (≤ 2 nodes/edge ⇒ ≲ 2M min rows ≈ tens of MB as a hashed relation —
+# safely under driver/executor headroom at any deployment size; larger
+# graphs keep the shuffle join, so the 10^12-doc path is unchanged)
+_BROADCAST_MAX_EDGES = 1_000_000
+
+
 def _canonical_edges(edges: DataFrame, a: str, b: str) -> DataFrame:
     """Undirected edge list → canonical (u > v) orientation, no loops."""
     return (
@@ -45,14 +52,24 @@ def _canonical_edges(edges: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, small: bool = False) -> DataFrame:
     """(u,v) canonical → for each node, connect strictly-larger neighbors
-    to min(Γ(u) ∪ {u})."""
+    to min(Γ(u) ∪ {u}).
+
+    ``small``: the caller KNOWS the edge count (the convergence
+    signature measures it every round) — when the per-node min relation
+    provably fits, broadcast it so the symmetric edge table is never
+    shuffled for the join (guide §3.1: the estimate-driven planner
+    cannot see this because the aggregate's size estimate is unknown).
+    Results are identical either way; rounds on small-to-medium graphs
+    stop paying two sort-merge exchanges each."""
     sym = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("u", "mn").alias("m"))
+    if small:
+        mins = F.broadcast(mins)
     out = (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
@@ -61,10 +78,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
     return _canonical_edges(out, "u", "v")
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, small: bool = False) -> DataFrame:
     """(u,v) canonical (v < u) → connect all small neighbors (and u) to the
-    minimum small neighbor."""
+    minimum small neighbor. ``small``: see ``_large_star``."""
     mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    if small:
+        mins = F.broadcast(mins)
     joined = edges.join(mins, "u")
     e1 = joined.filter(F.col("v") != F.col("m")).select(
         F.col("v").alias("u"), F.col("m").alias("v")
@@ -136,7 +155,11 @@ def connected_components(
     sig = _signature(cur)
     local_ok = sig[0] <= local_ckpt_max_edges
     for it in range(max_iter):
-        nxt = _small_star(_large_star(cur))
+        # the signature just measured the edge count for free — below
+        # _BROADCAST_MAX_EDGES the per-node min relations provably fit
+        # as broadcasts, dropping two edge-table shuffles per star
+        small = sig[0] <= _BROADCAST_MAX_EDGES
+        nxt = _small_star(_large_star(cur, small=small), small=small)
         nxt_handles: list = []
         if ckpt_dir is not None and not local_ok:
             path = f"{ckpt_dir}/cc_iter_{it}"

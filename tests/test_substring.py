@@ -366,3 +366,20 @@ def test_lcs_udf_gate_preserves_filtered_pairs(spark):
 
     for (ua, ub), run in got.items():
         assert run == brute_lcs(texts[ua], texts[ub]), (ua, ub)
+
+
+def test_sliding_min_matches_stride_tricks():
+    """r06: the O(n) block prefix/suffix sliding-window min must be
+    value-identical to the stride-tricks formulation — winnow
+    fingerprint selection keys off it."""
+    from dedupe_trees_spark.operators.substring import _sliding_min
+
+    rng = np.random.default_rng(13)
+    for dtype in (np.uint64, np.int64):
+        for n in (42, 43, 100, 300, 5000):
+            for w in (1, 2, 17, 41):
+                if n <= w:
+                    continue
+                h = rng.integers(0, 2**63, size=n).astype(dtype)
+                win = np.lib.stride_tricks.sliding_window_view(h, w)
+                assert np.array_equal(_sliding_min(h, w), win.min(axis=1))

@@ -137,6 +137,17 @@ def cmd_kernels(ckpt: str, cores: str, heap: str, mode: str = "window") -> dict:
     )
     cand_sec = noop(cands)
     spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+    # restore the hashagg fallback threshold the tuner raised, the same
+    # way the pipeline's own finally-block does — without this the
+    # per-task-sized bound leaks into the rest of the session (r5
+    # advisor note)
+    prev_fb = getattr(pipe, "_hashagg_prev_fallback", None)
+    if prev_fb is not None:
+        spark.conf.set(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            prev_fb,
+        )
+        pipe._hashagg_prev_fallback = None
     return {
         "op": "kernels", "mode": mode, "cores": cores, "heap": heap,
         "shuffle_partitions": tuned_parts,
