@@ -151,6 +151,10 @@ def connected_components(
         cur.write.mode("overwrite").parquet(path)
         cur = spark.read.parquet(path)
     else:
+        # eager on purpose: a lazy checkpoint defers the lineage
+        # truncation, so each round's plan builds on the full history —
+        # measured 3-5x SLOWER at sf1.0 despite saving one job per
+        # round (r06 A/B: canonical 6.5 s eager vs 24-39 s lazy)
         cur, cur_handles = local_ckpt(cur)
     sig = _signature(cur)
     local_ok = sig[0] <= local_ckpt_max_edges
@@ -166,7 +170,7 @@ def connected_components(
             nxt.write.mode("overwrite").parquet(path)
             nxt = spark.read.parquet(path)
         else:
-            nxt, nxt_handles = local_ckpt(nxt)
+            nxt, nxt_handles = local_ckpt(nxt)  # eager — see init note
         nsig = _signature(nxt)
         # release the previous round's blocks (RDD-level handles —
         # DataFrame.unpersist is a no-op for localCheckpoint data);

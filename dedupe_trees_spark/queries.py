@@ -27,8 +27,39 @@ from dedupe_trees_spark.operators import resolve as R
 # helpers
 
 
+# a fixture table at or below this size is fanned out to the cores on
+# load: the driver writes each table as ONE parquet file with ONE row
+# group, and a row group is the minimum scan-split unit, so every
+# map-side stage rooted at such a scan runs on a single core no matter
+# what maxPartitionBytes says (guide §2.5 "one huge unsplittable
+# file — repartition immediately after the read"). The round-robin
+# exchange costs ~0.1-0.3 s at these sizes and parallelizes every
+# downstream UDF/explode; big tables (many row groups) split naturally
+# and skip it, so nothing here shuffles GB-scale inputs.
+_FANOUT_MAX_BYTES = 256 << 20
+
+
+def _input_bytes(path: str) -> int | None:
+    import os
+
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+    except OSError:
+        return None
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    size = _input_bytes(path)
+    if size is not None and size <= _FANOUT_MAX_BYTES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _materialize(df: DataFrame) -> DataFrame:

@@ -19,6 +19,21 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().toString()
 
 
+def _non_fanout_exchange_lines(plan: str) -> list[str]:
+    """Exchange lines other than the input fan-out.
+
+    r06: `queries.load()` round-robin-repartitions small single-row-group
+    fixture files so map stages parallelize (a row group is the minimum
+    scan split — without this every map runs on one core). That input
+    repair is the ONLY exchange a pure-map operator may carry; any
+    hash/range exchange still fails these tests."""
+    return [
+        l
+        for l in plan.split("\n")
+        if "Exchange" in l and "RoundRobinPartitioning" not in l
+    ]
+
+
 def test_pricing_summary_pushdown_partial_agg_codegen(spark):
     plan = _executed_plan(Q.QUERIES["pricing_summary"](spark, SF_DIR))
     assert "LessThanOrEqual(l_shipdate" in plan          # filter reached the scan
@@ -120,14 +135,14 @@ def test_repetition_scores_is_pure_map(spark):
     Exchange anywhere, array work stays in one projection over the scan
     (the materialized-array columns must not reintroduce a shuffle)."""
     plan = _executed_plan(Q.QUERIES["repetition_scores"](spark, SF_DIR))
-    assert "Exchange" not in plan
+    assert _non_fanout_exchange_lines(plan) == []
     read_schema = next(l for l in plan.split("\n") if "ReadSchema" in l)
     assert "text" in read_schema and "lang" not in read_schema
 
 
 def test_url_normalize_is_pure_map(spark):
     plan = _executed_plan(Q.QUERIES["url_normalize"](spark, SF_DIR))
-    assert "Exchange" not in plan
+    assert _non_fanout_exchange_lines(plan) == []
 
 
 def test_paragraph_dup_stats_partial_agg(spark):
@@ -142,7 +157,7 @@ def test_gopher_quality_flags_is_pure_map(spark):
     """The Gopher rule battery must stay a shuffle-free projection over
     the scan — no Exchange, no UDF marker, text-only ReadSchema."""
     plan = _executed_plan(Q.QUERIES["gopher_quality_flags"](spark, SF_DIR))
-    assert "Exchange" not in plan
+    assert _non_fanout_exchange_lines(plan) == []
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     read_schema = next(l for l in plan.split("\n") if "ReadSchema" in l)
     assert "text" in read_schema and "lang" not in read_schema
