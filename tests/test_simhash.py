@@ -99,3 +99,30 @@ def test_simhash_near_duplicate_detected(spark):
     out = simhash_pairs(df, max_hamming=3).collect()
     assert len(out) == 1
     assert out[0]["hamming"] <= 3
+
+
+def test_simhash_swar_matches_per_bit():
+    """The r06 SWAR lane-packed bit count must be bit-identical to the
+    per-bit formulation on ragged batches with empty and long docs."""
+    rng = np.random.default_rng(11)
+    docs = [
+        np.array([], dtype=np.int64),
+        np.array([5], dtype=np.int64),
+        rng.integers(-(2**62), 2**62, size=301, dtype=np.int64),
+        np.array([], dtype=np.int64),
+        rng.integers(-(2**62), 2**62, size=70_000, dtype=np.int64),
+    ]
+    got = simhash_batch(pd.Series(docs)).to_numpy()
+
+    for i, arr in enumerate(docs):
+        if not len(arr):
+            assert got[i] == 0
+            continue
+        flat = arr.view(np.uint64)
+        half = len(flat) / 2.0
+        want = np.uint64(0)
+        for j in range(64):
+            ones = int((((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)).sum())
+            if ones > half:
+                want |= np.uint64(1) << np.uint64(j)
+        assert np.int64(got[i]) == want.view(np.int64), f"doc {i}"
