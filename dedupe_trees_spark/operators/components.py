@@ -39,6 +39,17 @@ from pyspark.sql import functions as F
 # graphs keep the shuffle join, so the 10^12-doc path is unchanged)
 _BROADCAST_MAX_EDGES = 1_000_000
 
+# below this edge count the whole edge set is a bounded driver relation
+# (≤ 16 MB of long pairs — the same order as a broadcast build side), and
+# the O(log n) distributed star rounds are pure fixed job latency: each
+# round costs 2 Spark jobs (checkpoint + convergence signature) to move
+# kilobytes. The fast path collects the canonical edges ONCE (Arrow),
+# runs a vectorized NumPy min-label propagation, and returns the same
+# (node, min-id-of-component) relation the star contraction converges
+# to. Larger graphs — including every 10^7+-doc certification input —
+# take the distributed loop unchanged.
+_DRIVER_CC_MAX_EDGES = 1_000_000
+
 
 def _canonical_edges(edges: DataFrame, a: str, b: str) -> DataFrame:
     """Undirected edge list → canonical (u > v) orientation, no loops."""
@@ -90,6 +101,63 @@ def _small_star(edges: DataFrame, small: bool = False) -> DataFrame:
     )
     e2 = mins.select(F.col("u"), F.col("m").alias("v"))
     return _canonical_edges(e1.unionByName(e2), "u", "v")
+
+
+def _driver_cc_supported(edges: DataFrame) -> bool:
+    """The driver fast path handles atomic id types whose Python/NumPy
+    ordering matches Spark's column ordering: integers trivially, and
+    strings because Python's code-point comparison equals UTF-8 byte
+    comparison (UTF-8 is order-preserving). Struct ids (nid_bits=128)
+    keep the distributed loop."""
+    from pyspark.sql import types as T
+
+    t = edges.schema["u"].dataType
+    return isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.StringType))
+
+
+def _driver_cc(edges: DataFrame) -> DataFrame:
+    """Bounded-size CC on the driver: min-label propagation over NumPy
+    index arrays (np.unique returns SORTED uniques, so index order ==
+    value order and the converged index label maps back to the exact
+    min id the star contraction produces). Each round is O(E + V)
+    vectorized; dup-cluster graphs have tiny diameters so rounds ≈ 2-3.
+    Value-identical to the distributed loop (pytest-pinned)."""
+    import numpy as np
+
+    spark = edges.sparkSession
+    pdf = edges.select("u", "v").toPandas()
+    utype = edges.schema["u"].dataType
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [T.StructField("url", utype), T.StructField("component_id", utype)]
+    )
+    if not len(pdf):
+        return spark.createDataFrame([], schema=out_schema)
+    ua = pdf["u"].to_numpy()
+    vb = pdf["v"].to_numpy()
+    vals, inv = np.unique(np.concatenate([ua, vb]), return_inverse=True)
+    ea, eb = inv[: len(ua)], inv[len(ua) :]
+    label = np.arange(len(vals), dtype=np.int64)
+    while True:
+        before = label
+        # hook: every node takes the min label across its edges…
+        m = np.minimum(label[ea], label[eb])
+        label = label.copy()
+        np.minimum.at(label, ea, m)
+        np.minimum.at(label, eb, m)
+        # …then pointer-jump until labels are root-stable
+        while True:
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(before, label):
+            break
+    import pandas as pd
+
+    out = pd.DataFrame({"url": vals, "component_id": vals[label]})
+    return spark.createDataFrame(out, schema=out_schema)
 
 
 def _signature(edges: DataFrame) -> tuple[int, int]:
@@ -157,6 +225,18 @@ def connected_components(
         # round (r06 A/B: canonical 6.5 s eager vs 24-39 s lazy)
         cur, cur_handles = local_ckpt(cur)
     sig = _signature(cur)
+    if sig[0] <= _DRIVER_CC_MAX_EDGES and _driver_cc_supported(cur):
+        # the signature just counted the edges for free: at this size
+        # the canonical edge set is a bounded driver relation (same
+        # order as a broadcast build side) and every distributed star
+        # round is 2 jobs of fixed latency moving kilobytes — resolve
+        # the labels in one collect + vectorized pass instead. The
+        # converged relation is independent of the edge frame, so its
+        # checkpoint blocks release immediately.
+        out = _driver_cc(cur)
+        for h in cur_handles:
+            h.unpersist()
+        return out
     local_ok = sig[0] <= local_ckpt_max_edges
     for it in range(max_iter):
         # the signature just measured the edge count for free — below

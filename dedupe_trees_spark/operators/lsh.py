@@ -69,6 +69,7 @@ def candidate_pairs(
     id_col: str = "url",
     cap: int = 256,
     star_srcs: int = 0,
+    src_from_band=None,
 ) -> DataFrame:
     """Bucket-join candidates with hot-bucket salting; distinct (a,b) pairs.
 
@@ -128,8 +129,19 @@ def candidate_pairs(
     component as m(m−1)/2 would). Generators whose candidates face
     verification need cold all-pairs — a star would lose members that
     fail the check against the rep but pass against another member.
+
+    ``src_from_band``: a Column expression over ``band_id`` that
+    reconstructs ``src``. When the provenance flag is a pure function
+    of the band-id namespace (the pipeline's fused table is built that
+    way), passing the mapping here DROPS the src column before the
+    window exchange — the job's largest shuffle carries one fewer
+    column per bucket row (guide §2.3 "project before the exchange") —
+    and recomputes it from the grouping key afterwards.
+    Value-identical output (pytest-pinned).
     """
-    has_src = "src" in bands_df.columns
+    if src_from_band is not None:
+        bands_df = bands_df.drop("src")
+    has_src = "src" in bands_df.columns or src_from_band is not None
     src_cols = ["src"] if has_src else []
     w_bucket = Window.partitionBy("band_id", "band_hash")
     tagged = (
@@ -154,8 +166,12 @@ def candidate_pairs(
         F.array_distinct(F.collect_list(id_col)).alias("_ids"),
         F.first("bucket_n").alias("_n"),
         F.first("bucket_min").alias("_min"),
-        *([F.first("src").alias("src")] if has_src else []),
+        *([F.first("src").alias("src")] if has_src and src_from_band is None else []),
     )
+    if src_from_band is not None:
+        # band_id is a grouping key — the provenance flag reattaches
+        # here as a pure projection, never having crossed the exchange
+        grouped = grouped.withColumn("src", src_from_band)
 
     ids = F.col("_ids")
     # cold: all i<j position pairs of the (distinct) ids
@@ -202,6 +218,7 @@ def candidate_pairs_hashagg(
     id_col: str = "url",
     cap: int = 256,
     star_srcs: int = 0,
+    src_from_band=None,
 ) -> DataFrame:
     """Sort-free twin of :func:`candidate_pairs` — identical pair set,
     different physical plan. **Measured verdict: the window build wins
@@ -256,7 +273,9 @@ def candidate_pairs_hashagg(
     the null rep — which the existing a≠b filter drops; no special
     casing.
     """
-    has_src = "src" in bands_df.columns
+    if src_from_band is not None:
+        bands_df = bands_df.drop("src")  # see candidate_pairs docstring
+    has_src = "src" in bands_df.columns or src_from_band is not None
     src_cols = ["src"] if has_src else []
     # explicit repartition on the bucket key, NOT a bare groupBy: a bare
     # groupBy plans a map-side partial collect_list over the scan's
@@ -272,10 +291,12 @@ def candidate_pairs_hashagg(
         .groupBy("band_id", "band_hash")
         .agg(
             F.collect_list(id_col).alias("_raw"),
-            *([F.first("src").alias("src")] if has_src else []),
+            *([F.first("src").alias("src")] if has_src and src_from_band is None else []),
         )
         .filter(F.size("_raw") >= 2)
     )
+    if src_from_band is not None:
+        grouped = grouped.withColumn("src", src_from_band)
     n = F.size("_raw")
     ids = F.array_distinct(F.col("_raw"))
     bmin = F.array_min(F.col("_raw"))

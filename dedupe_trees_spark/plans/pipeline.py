@@ -71,6 +71,23 @@ STAGES = ["signatures", "bands", "pairs", "components", "canonical"]
 SRC_MINHASH, SRC_SIMHASH, SRC_SUBSTR, SRC_EXACT = 1, 2, 4, 8
 
 
+def src_from_band_expr(cfg: PipelineConfig):
+    """band_id → provenance flag, inverting build_bucket_table's fixed
+    namespace layout (minhash [0, bands), simhash [bands, bands+10),
+    substr bands+10, exact bands+11). Passing this to candidate_pairs
+    lets the fused bucket table shed its src column before the pairs
+    window exchange — the job's largest shuffle — and recompute it from
+    the grouping key afterwards (guide §2.3); the emitted pairs are
+    value-identical (pytest-pinned)."""
+    b = F.col("band_id")
+    return (
+        F.when(b == cfg.bands + 11, F.lit(SRC_EXACT))
+        .when(b == cfg.bands + 10, F.lit(SRC_SUBSTR))
+        .when(b >= cfg.bands, F.lit(SRC_SIMHASH))
+        .otherwise(F.lit(SRC_MINHASH))
+    )
+
+
 def _nid64(col: str):
     """The 64-bit node-id hash. Module-level so tests can monkeypatch it
     to a deliberately colliding hash (e.g. pmod(xxhash64, 4)) and prove
@@ -514,7 +531,8 @@ class DedupePipeline:
             candidate_pairs_hashagg if cfg.hashagg_candidates else candidate_pairs
         )
         cands = cand_fn(
-            fused, id_col="nid", cap=cfg.bucket_cap, star_srcs=self.SRC_EXACT
+            fused, id_col="nid", cap=cfg.bucket_cap, star_srcs=self.SRC_EXACT,
+            src_from_band=src_from_band_expr(cfg),
         )
         # cands feeds the edge assembly AND the candidate-nid list for
         # the sets semi-filter — materialize so neither re-runs
@@ -701,11 +719,16 @@ class DedupePipeline:
         The repair path (join + rewrite of the signatures checkpoint)
         runs only when duplicates actually exist."""
         sigs = read_stage(self.spark, self.cfg.ckpt_dir, "signatures")
+        # ">1 distinct urls" ⟺ min(url) != max(url): min/max partial-agg
+        # in one exchange, where countDistinct pays an Expand plus a
+        # second aggregation pass over the corpus (r06 job profile: the
+        # audit was the second-largest S1-stage job)
         agg = sigs.groupBy("nid").agg(
-            F.count(F.lit(1)).alias("n"), F.countDistinct("url").alias("u")
+            F.count(F.lit(1)).alias("n"),
+            (F.min("url") != F.max("url")).cast("int").alias("multi_url"),
         )
         flags = agg.select(
-            F.max((F.col("u") > 1).cast("int")).alias("collide"),
+            F.max("multi_url").alias("collide"),
             F.max((F.col("n") > 1).cast("int")).alias("dup"),
         ).collect()[0]
         if flags["collide"]:

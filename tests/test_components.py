@@ -84,3 +84,36 @@ def test_assign_components_includes_singletons(spark):
     edges = spark.createDataFrame([("a", "b")], ["url_a", "url_b"])
     out = {r["url"]: r["component_id"] for r in assign_components(nodes, edges).collect()}
     assert out == {"a": "a", "b": "a", "c": "c", "lonely": "lonely"}
+
+
+def test_driver_and_distributed_paths_identical(spark, monkeypatch):
+    """The r06 bounded driver fast path must emit exactly the relation
+    the distributed star contraction converges to — same node set, same
+    min-id labels — for both string and int64 ids."""
+    import dedupe_trees_spark.operators.components as C
+
+    rng = random.Random(5)
+    n = 120
+    str_edges = [
+        (f"u{rng.randrange(n):03d}", f"u{rng.randrange(n):03d}") for _ in range(150)
+    ]
+    int_edges = [
+        (rng.randrange(-(2**62), 2**62), rng.randrange(-(2**62), 2**62))
+        for _ in range(40)
+    ] + [(7, 9), (9, 11)]
+
+    for edges, cols in ((str_edges, "string"), (int_edges, "long")):
+        df = spark.createDataFrame(
+            edges, f"url_a {cols}, url_b {cols}"
+        )
+        fast = {
+            r["url"]: r["component_id"]
+            for r in connected_components(df).collect()
+        }
+        monkeypatch.setattr(C, "_DRIVER_CC_MAX_EDGES", -1)
+        slow = {
+            r["url"]: r["component_id"]
+            for r in C.connected_components(df).collect()
+        }
+        monkeypatch.undo()
+        assert fast == slow

@@ -227,3 +227,43 @@ def test_fused_bucket_build_matches_union_and_is_single_scan(spark):
         assert "Union" in dplan  # default = 4-branch union
     finally:
         sigs.unpersist()
+
+
+def test_src_from_band_candidates_value_identical(spark):
+    """Dropping src before the pairs exchange and reconstructing it from
+    band_id (src_from_band_expr) must emit the exact same (url_a, url_b,
+    srcs) set as shuffling the src column, for BOTH candidate builds."""
+    from dedupe_trees_spark.config import PipelineConfig
+    from dedupe_trees_spark.datagen import GenConfig, generate_pages
+    from dedupe_trees_spark.operators.lsh import (
+        candidate_pairs,
+        candidate_pairs_hashagg,
+    )
+    from dedupe_trees_spark.plans.pipeline import (
+        SRC_EXACT,
+        build_bucket_table,
+        build_signatures,
+        src_from_band_expr,
+    )
+
+    pages = generate_pages(spark, GenConfig(n_docs=400, seed=13))
+    cfg = PipelineConfig(input_path="x", ckpt_dir="/tmp/unused_srcmap_ck")
+    sigs = build_signatures(pages, cfg).cache()
+    try:
+        fused = build_bucket_table(sigs, cfg, bands_df=None).cache()
+        expr = src_from_band_expr(cfg)
+        base = sorted(
+            map(tuple, candidate_pairs(fused, id_col="nid", cap=64,
+                                       star_srcs=SRC_EXACT).collect())
+        )
+        assert base  # non-trivial pair set
+        for fn in (candidate_pairs, candidate_pairs_hashagg):
+            got = sorted(
+                map(tuple, fn(fused, id_col="nid", cap=64,
+                              star_srcs=SRC_EXACT,
+                              src_from_band=expr).collect())
+            )
+            assert got == base, fn.__name__
+    finally:
+        fused.unpersist()
+        sigs.unpersist()
