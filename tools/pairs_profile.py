@@ -136,6 +136,17 @@ def cmd_kernels(ckpt: str, cores: str, heap: str, mode: str = "window") -> dict:
         fused, id_col="nid", cap=cfg.bucket_cap, star_srcs=pipe.SRC_EXACT
     )
     cand_sec = noop(cands)
+    # the r06 pipeline shape: src dropped before the exchange and
+    # rebuilt from band_id (value-identical pairs, pytest-pinned).
+    # Measured separately so the plain number stays comparable with
+    # the r4/r5 certification lines.
+    from dedupe_trees_spark.plans.pipeline import src_from_band_expr
+
+    cands_slim = cand_fn(
+        fused, id_col="nid", cap=cfg.bucket_cap, star_srcs=pipe.SRC_EXACT,
+        src_from_band=src_from_band_expr(cfg),
+    )
+    cand_slim_sec = noop(cands_slim)
     spark.conf.set("spark.sql.shuffle.partitions", base_parts)
     # restore the hashagg fallback threshold the tuner raised, the same
     # way the pipeline's own finally-block does — without this the
@@ -154,6 +165,7 @@ def cmd_kernels(ckpt: str, cores: str, heap: str, mode: str = "window") -> dict:
         "bucket_rows": n_bucket_rows,
         "bucket_build_noop_sec": bucket_build_sec,
         "candidates_noop_sec": cand_sec,
+        "candidates_srcmap_noop_sec": cand_slim_sec,
         "window_groupby_dedup_sec": round(cand_sec - bucket_build_sec, 1),
     }
 
