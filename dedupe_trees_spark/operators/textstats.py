@@ -744,12 +744,17 @@ def nb_lang_classifier(
     # feats is consumed three times (training counts, doc_terms,
     # seen_sums) — without materialization each consumer re-runs the
     # corpus explode + md5 + groupBy (the round-5 verdict's "featurizes
-    # the corpus twice" capacity note). Lazy localCheckpoint computes
-    # it once; blocks are scoped to this DataFrame, nothing persists
-    # across invocations.
+    # the corpus twice" capacity note). EAGER localCheckpoint (r06
+    # second pass): the model-side consumers are broadcast-exchange
+    # builds that Spark launches concurrently, and a LAZY checkpoint
+    # lets every racing build recompute the full featurize before any
+    # registers the blocks — event-log profiled at 1M docs/local[32]
+    # as ~9 duplicate featurize jobs, 256–414 s lazy vs 128 s eager
+    # (identical predictions, hash-pinned). Blocks are scoped to this
+    # DataFrame; nothing persists across invocations.
     feats = hashing_features(
         corpus.select(id_col, text_col), dim=dim, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     labels = corpus.select(id_col, F.col(label_col).alias("_lbl"))
     lf = feats.join(labels, id_col)
 

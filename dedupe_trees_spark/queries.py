@@ -63,16 +63,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Compute a multiply-consumed intermediate ONCE (lazy
+    """Compute a multiply-consumed intermediate ONCE (EAGER
     localCheckpoint): self-joins and size/score join-backs otherwise
     replicate the producing subtree per consumer — the capped-gram core
     re-ran its scan + shingle UDF 8× per query (plan-verified, r06).
     localCheckpoint (not persist) on purpose: blocks belong to this
     DataFrame object only, so nothing is shared across separately-built
     queries — every bench/oracle invocation still computes from the
-    parquet inputs. Lazy (eager=False), so construction stays free and
-    the materialization happens inside the timed action."""
-    return df.localCheckpoint(eager=False)
+    parquet inputs. EAGER on purpose (r06 second pass): a lazy
+    checkpoint is materialized by whichever consumer job runs first,
+    and Spark launches broadcast-exchange builds CONCURRENTLY — each
+    racing consumer recomputes the full subtree before any of them
+    registers the blocks (measured ~2× on every query in this family
+    at sf0.1, and 2.4–3.2× on the 1M lang-id path). Eager runs one job
+    at dataframe-construction time — still inside every timed/oracled
+    window, which opens at query build."""
+    return df.localCheckpoint(eager=True)
 
 
 def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
