@@ -38,6 +38,17 @@ from dedupe_trees_spark.operators import resolve as R
 # and skip it, so nothing here shuffles GB-scale inputs.
 _FANOUT_MAX_BYTES = 256 << 20
 
+# …and a floor (r06 second pass): KB-sized dimension tables
+# (region/nation/supplier at every SF) gain nothing from 32 near-empty
+# partitions — the exchange plus 32 task launches cost MORE than any
+# parallelism they buy, and several queries load 2-3 such tables each.
+# Measured at sf0.1 (9-query dimension-table sweep, 3 warm reps):
+# ~4.1-4.4 s → ~3.3-3.5 s with the floor. 64 KB keeps every table a
+# UDF ever scans (documents, embeddings, events, part, customer …)
+# above the floor, so the §8 fan-out behavior is unchanged where it
+# matters.
+_FANOUT_MIN_BYTES = 64 << 10
+
 
 def _input_bytes(path: str) -> int | None:
     import os
@@ -57,7 +68,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
     size = _input_bytes(path)
-    if size is not None and size <= _FANOUT_MAX_BYTES:
+    if size is not None and _FANOUT_MIN_BYTES <= size <= _FANOUT_MAX_BYTES:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
